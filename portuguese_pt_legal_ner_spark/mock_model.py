@@ -1,0 +1,180 @@
+"""Deterministic rule-based token classifier (sandbox model stand-in).
+
+The sandbox has no GPU and no network model downloads, so benchmarks
+and parity tests run against a deterministic mock with the SAME
+interface shape as a HF ``AutoModelForTokenClassification``: given a
+token sequence it returns a logits matrix ``[n_tokens, 19]`` over the
+BIO label space (labels.ENTITY_LABELS). A real BERTimbau checkpoint
+can be swapped in behind the same seam (the reference loads its model
+at src/inference.py:76-94); everything downstream — softmax, argmax,
+"simple" aggregation decode, threshold, bounds check — is identical
+for mock and real models.
+
+Rules: longest-match gazetteers for PER/ORG/LOC/DAT-textual plus
+token regexes for DAT/TEL/E-MAIL/CEP/MAT/IDP, covering the 9 entity
+types of the reference (src/data.py:27-47, README.md:14-28). A few
+entries deliberately score below 0.5 to exercise the confidence
+filter (src/inference.py:203, default threshold src/config.py:63).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .labels import LABEL_TO_ID, NUM_LABELS
+from .tokenization import Token
+
+# ---------------------------------------------------------------------------
+# Gazetteers: (token tuple, entity type, per-token score)
+# ---------------------------------------------------------------------------
+
+_GAZETTEER: list[tuple[tuple[str, ...], str, float]] = [
+    # PER
+    (("João", "Silva"), "PER", 0.98),
+    (("Joao", "Silva"), "PER", 0.97),          # diacritic-less variant (LSH test)
+    (("Maria", "Santos"), "PER", 0.98),
+    (("António", "Costa"), "PER", 0.97),
+    (("Ana", "Pereira"), "PER", 0.96),
+    (("Carlos", "Mendes"), "PER", 0.96),
+    (("Rui", "Duvidoso"), "PER", 0.42),        # sub-threshold: exercises T3 filter
+    # ORG (longest first is handled by sorting below)
+    (("Tribunal", "de", "Justiça", "de", "Lisboa"), "ORG", 0.97),
+    (("Tribunal", "de", "Justiça"), "ORG", 0.98),
+    (("TJ", "Lisboa"), "ORG", 0.93),
+    (("Ministério", "Público"), "ORG", 0.97),
+    (("Tech", "Solutions", "Ltda", "."), "ORG", 0.92),
+    (("Supremo", "Tribunal", "Administrativo"), "ORG", 0.96),
+    # LOC
+    (("Lisboa",), "LOC", 0.95),
+    (("Porto",), "LOC", 0.94),
+    (("Coimbra",), "LOC", 0.94),
+    (("Braga",), "LOC", 0.93),
+    (("Faro",), "LOC", 0.44),                  # sub-threshold LOC
+]
+
+# Sort longest-first so "Tribunal de Justiça de Lisboa" wins over the
+# 3-token prefix, and build a first-token index for O(1) candidate lookup.
+_GAZETTEER.sort(key=lambda g: -len(g[0]))
+_GAZ_INDEX: dict[str, list[tuple[tuple[str, ...], str, float]]] = {}
+for _entry in _GAZETTEER:
+    _GAZ_INDEX.setdefault(_entry[0][0], []).append(_entry)
+
+_MONTHS = (
+    "janeiro fevereiro março abril maio junho julho agosto "
+    "setembro outubro novembro dezembro"
+).split()
+
+_RE_DATE_NUM = re.compile(r"^\d{2}/\d{2}/\d{4}$")
+_RE_EMAIL = re.compile(r"^[\w.+-]+@[\w-]+\.[\w.]+$")
+_RE_CEP = re.compile(r"^\d{4}-\d{3}$")
+_RE_MAT = re.compile(r"^[A-Z]{2}-\d{2}-\d{2}$")
+_RE_PROC_NUM = re.compile(r"^\d{3,6}/\d{4}$")
+_RE_CC_NUM = re.compile(r"^\d{8}$")
+_RE_TEL_CC = re.compile(r"^\+\d{2,3}$")
+_RE_3DIG = re.compile(r"^\d{3}$")
+_RE_DAY = re.compile(r"^\d{1,2}$")
+_RE_YEAR = re.compile(r"^\d{4}$")
+
+
+def _logit_for_score(score: float) -> float:
+    """Logit so that softmax([L, 0*18]) gives probability ≈ `score`."""
+    score = min(max(score, 1e-4), 1 - 1e-4)
+    return math.log((NUM_LABELS - 1) * score / (1.0 - score))
+
+
+def classify_tokens(tokens: list[Token]) -> list[tuple[str, float]]:
+    """Assign one (BIO label, score) per token, deterministically."""
+    n = len(tokens)
+    texts = [t.text for t in tokens]
+    out: list[tuple[str, float]] = [("O", 0.99)] * n
+    taken = [False] * n
+
+    def claim(i: int, length: int, etype: str, score: float) -> None:
+        for k in range(length):
+            prefix = "B" if k == 0 else "I"
+            out[i + k] = (f"{prefix}-{etype}", score)
+            taken[i + k] = True
+
+    i = 0
+    while i < n:
+        if taken[i]:
+            i += 1
+            continue
+        tok = texts[i]
+        # 1. gazetteer, longest match first
+        matched = False
+        for phrase, etype, score in _GAZ_INDEX.get(tok, ()):
+            ln = len(phrase)
+            if i + ln <= n and tuple(texts[i : i + ln]) == phrase and not any(
+                taken[i : i + ln]
+            ):
+                claim(i, ln, etype, score)
+                i += ln
+                matched = True
+                break
+        if matched:
+            continue
+        # 2. textual date: "<d> de <month> de <yyyy>"
+        if (
+            _RE_DAY.match(tok)
+            and i + 4 < n
+            and texts[i + 1] == "de"
+            and texts[i + 2].lower() in _MONTHS
+            and texts[i + 3] == "de"
+            and _RE_YEAR.match(texts[i + 4])
+        ):
+            claim(i, 5, "DAT", 0.96)
+            i += 5
+            continue
+        # 3. phone: +351 912 345 678 (country code + three 3-digit groups)
+        if (
+            _RE_TEL_CC.match(tok)
+            and i + 3 < n
+            and all(_RE_3DIG.match(texts[i + k]) for k in (1, 2, 3))
+        ):
+            claim(i, 4, "TEL", 0.95)
+            i += 4
+            continue
+        # 4. IDP: "processo [número] <ddd/dddd>"
+        if tok == "processo":
+            j = i + 1
+            if j < n and texts[j] == "número":
+                j += 1
+            if j < n and _RE_PROC_NUM.match(texts[j]):
+                claim(i, j - i + 1, "IDP", 0.95)
+                i = j + 1
+                continue
+        # 5. IDP: "CC <8 digits>"
+        if tok == "CC" and i + 1 < n and _RE_CC_NUM.match(texts[i + 1]):
+            claim(i, 2, "IDP", 0.94)
+            i += 2
+            continue
+        # 6. single-token regex types
+        if _RE_DATE_NUM.match(tok):
+            claim(i, 1, "DAT", 0.97)
+        elif _RE_EMAIL.match(tok):
+            claim(i, 1, "E-MAIL", 0.98)
+        elif _RE_CEP.match(tok):
+            claim(i, 1, "CEP", 0.93)
+        elif _RE_MAT.match(tok):
+            claim(i, 1, "MAT", 0.94)
+        i += 1
+
+    return out
+
+
+def score_tokens(tokens: list[Token]) -> np.ndarray:
+    """Logits matrix [len(tokens), 19] — the model-interface contract.
+
+    softmax(row).argmax() recovers classify_tokens' label and its
+    probability ≈ the rule score, mirroring the argmax(axis=2) step of
+    the reference's metric path (src/training.py:62).
+    """
+    labeled = classify_tokens(tokens)
+    logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
+    for row, (label, score) in enumerate(labeled):
+        logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
+    return logits

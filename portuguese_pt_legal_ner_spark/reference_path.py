@@ -1,0 +1,111 @@
+"""Serial, faithful reimplementation of the reference inference loop.
+
+This is the PARITY ORACLE: a single-process Python re-expression of
+the reference's ``InferenceEngine.process_document`` /
+``_extract_entities`` semantics (src/inference.py:98-216), run over
+the shared deterministic mock model. The Spark path
+(operators/mentions.py) must reproduce its output at P/R ≥ 0.95
+(target 1.0) under stable (conv_id, turn_idx) ordering — the
+BASELINE.md gate.
+
+Faithfully mirrored reference behaviors:
+  * paragraph split: ``[p.strip() for p in text.split("\\n") if
+    p.strip()]`` (src/inference.py:171-183)                     [T1/T2]
+  * confidence filter ``score >= threshold`` (inference.py:203) [T3]
+  * bounds check ``0 <= start < end <= len(text)``
+    (inference.py:209)                                          [T4]
+  * span projection to ``[start, end, LABEL]`` (inference.py:210) [T5]
+  * per-paragraph error guard → empty label list
+    (inference.py:214-216)                                      [T6]
+  * paragraphs kept even with zero entities (inference.py:124-127)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .decode import decode_simple
+from .labels import DEFAULT_CONFIDENCE_THRESHOLD
+from .mock_model import score_tokens
+from .tokenization import tokenize_with_offsets
+
+
+def split_into_paragraphs(text: str) -> list[str]:
+    """Reference _split_into_paragraphs (src/inference.py:171-183)."""
+    return [p.strip() for p in text.split("\n") if p.strip()]
+
+
+def extract_entities_scored(
+    text: str, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
+) -> list[tuple[int, int, str, float]]:
+    """Reference _extract_entities (src/inference.py:185-216) over the
+    mock model: decode → threshold → bounds check, keeping the score."""
+    try:
+        tokens = tokenize_with_offsets(text)
+        spans = decode_simple(tokens, score_tokens(tokens))
+        result = []
+        for span in spans:
+            if span.score >= confidence_threshold:
+                if 0 <= span.start < span.end <= len(text):
+                    result.append(
+                        (span.start, span.end, span.entity_group, span.score)
+                    )
+        return result
+    except Exception:
+        return []
+
+
+def extract_entities(
+    text: str, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
+) -> list[list]:
+    """Span projection to ``[start, end, LABEL]`` — the reference's
+    exact output shape (src/inference.py:210), score dropped."""
+    return [
+        [s, e, label]
+        for s, e, label, _ in extract_entities_scored(text, confidence_threshold)
+    ]
+
+
+def process_document(
+    text: str, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
+) -> list[dict[str, Any]]:
+    """Reference process_document (src/inference.py:98-129): one
+    ``{"text": paragraph, "labels": [[s, e, L], ...]}`` record per
+    non-empty paragraph, paragraphs without entities included."""
+    results = []
+    for paragraph in split_into_paragraphs(text):
+        if not paragraph.strip():
+            continue
+        entities = extract_entities(paragraph, confidence_threshold)
+        results.append({"text": paragraph, "labels": entities})
+    return results
+
+
+def mentions_for_turn(
+    conv_id: str,
+    turn_idx: int,
+    text: str,
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+) -> list[dict[str, Any]]:
+    """Flatten process_document output into mention rows keyed by
+    (conv_id, turn_idx, para_idx); start/end stay paragraph-relative,
+    exactly the reference's JSONL span convention
+    (src/inference.py:110-115)."""
+    rows = []
+    for para_idx, para_text in enumerate(split_into_paragraphs(text)):
+        for start, end, label, score in extract_entities_scored(
+            para_text, confidence_threshold
+        ):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
+                    "para_idx": para_idx,
+                    "start": start,
+                    "end": end,
+                    "label": label,
+                    "surface": para_text[start:end],
+                    "score": score,
+                }
+            )
+    return rows
