@@ -1,38 +1,429 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (synthetic transcripts →
+vectorized NER mentions → triple lifting) at sf0.001 scale.
+``queries()`` exposes implemented operators; each oracle-backed entry
+has an exactly-matching DuckDB SQL in ``oracle_sql()`` (same column
+names, same types, same rounding). KG-pipeline entries whose input is
+the synthesized transcripts table are rows-only checks (no SQL oracle
+can see that table); their correctness gate is the pytest parity suite
+(`python -m pytest -x -q`).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _pkg():
+    import portuguese_pt_legal_ner_spark as pkg  # noqa: PLC0415
+
+    return pkg
+
+
+def _prepare(spark: SparkSession) -> None:
+    from portuguese_pt_legal_ner_spark.session import ship_package  # noqa: PLC0415
+
+    ship_package(spark)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    """Exact decimal view of a money/rate column. Double sums are
+    summation-order-dependent, so Spark and DuckDB can disagree at a
+    rounding boundary; decimal sums are exact and engine-independent."""
+    return col.cast("decimal(12,4)")
+
+
+def _revenue_sum():
+    """round(cast(sum(dec(price) * dec(1-disc)) as double), 2)."""
+    return F.round(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))), 2
+    ).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: transcripts → mentions → triples (the north-star pipeline)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship KG pipeline on synthetic transcripts (sf0.001-ish)."""
+    _prepare(spark)
+    from portuguese_pt_legal_ner_spark.plans.pipeline import extract_triples  # noqa: PLC0415
+    from portuguese_pt_legal_ner_spark.sources.tables import (  # noqa: PLC0415
+        synthetic_transcripts,
+    )
+
+    transcripts = synthetic_transcripts(spark, n_conversations=300, seed=42)
+    return extract_triples(transcripts)
+
+
+# ---------------------------------------------------------------------------
+# queries() — operators from SURVEY.md §2 and the training-data ops
+# ---------------------------------------------------------------------------
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized NER mention detection (SURVEY §2.3 M1-M4). Rows-only:
+    input is the deterministic synthetic transcripts table."""
+    _prepare(spark)
+    from portuguese_pt_legal_ner_spark.operators.mentions import detect_mentions  # noqa: PLC0415
+    from portuguese_pt_legal_ner_spark.sources.tables import synthetic_transcripts  # noqa: PLC0415
+
+    t = synthetic_transcripts(spark, n_conversations=200, seed=42)
+    return detect_mentions(t)
+
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple lifting (SURVEY §2.7). Rows-only; gated by pytest parity."""
+    _prepare(spark)
+    from portuguese_pt_legal_ner_spark.plans.pipeline import extract_triples  # noqa: PLC0415
+    from portuguese_pt_legal_ner_spark.sources.tables import synthetic_transcripts  # noqa: PLC0415
+
+    t = synthetic_transcripts(spark, n_conversations=200, seed=42)
+    return extract_triples(t)
+
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-groupBy-agg (SURVEY §2.4 A1-A3 math)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            _revenue_sum().alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    _dec(F.col("l_extendedprice"))
+                    * _dec(1 - F.col("l_discount"))
+                    * _dec(1 + F.col("l_tax"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(
+                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))
+                      * CAST(1 + l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group agg; no LIMIT (hash compare
+    is order-insensitive, ties would make top-k nondeterministic)."""
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def _q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, small dims broadcast."""
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation")
+    supplier = _load(spark, sf_dir, "supplier")
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pushed-down filter + single agg."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out
+
+
+_Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 25
+"""
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup: per (type, day) counts + value stats."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("evt_date")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))), 2).cast("double").alias(
+                "total_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_DAILY_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS evt_date,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting + char length per doc
+    (training-data pipeline op; JVM-side split, no UDF)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+_DOC_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS n_unique_tokens
+FROM documents
+"""
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: stopword ratio + mean token length
+    (quality-filter op of a training-data pipeline)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))
+    return docs.select(
+        "doc_id",
+        F.round(F.size(stop) / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+            )
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+_DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+             / len(toks), 6) AS mean_token_len
+FROM t
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keeps min doc_id as the
+    canonical representative (training-data dedup op #1)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def _q_ann_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (brute-force baseline): for each query vector
+    (vec_id < 200), count other vectors with cosine > 0.5. Threshold
+    counting instead of top-k argmax so float ties can't flip the
+    result hash."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    pairs = q.join(c, F.col("qid") != F.col("cid"))
+    cos = dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce")))
+    return (
+        pairs.select("qid", cos.alias("cos"))
+        .groupBy("qid")
+        .agg(F.sum(F.when(F.col("cos") > 0.5, 1).otherwise(0)).alias("n_similar"))
+    )
+
+
+_ANN_SQL = """
+SELECT a.vec_id AS qid,
+       CAST(sum(CASE WHEN list_cosine_similarity(a.embedding, b.embedding) > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
+FROM embeddings a
+JOIN embeddings b ON a.vec_id != b.vec_id
+WHERE a.vec_id < 200
+GROUP BY a.vec_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_mentions": _q_kg_mentions,
+        "kg_triples": _q_kg_triples,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_segment_revenue": _q_q3_segment_revenue,
+        "q5_nation_revenue": _q_q5_nation_revenue,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "events_daily": _q_events_daily,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "dedup_exact": _q_dedup_exact,
+        "ann_threshold_count": _q_ann_threshold_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # kg_mentions / kg_triples: rows-only (synthetic transcripts
+        # are not DuckDB-visible; gated by pytest parity suite instead)
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_segment_revenue": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
+        "doc_token_stats": _DOC_TOKEN_SQL,
+        "doc_quality": _DOC_QUALITY_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "ann_threshold_count": _ANN_SQL,
+    }

@@ -1,0 +1,164 @@
+"""End-to-end KG pipeline orchestration: staging, checkpoints, resume.
+
+The reference tracks experiments with JSON metadata + append-only
+metrics (src/tracking.py:65-148, 393-409); this module generalizes
+that precedent to per-stage, per-partition pipeline state so that any
+stage resumes idempotently (north_rule):
+
+  * each stage's output is a parquet directory under the run workdir
+    (Iceberg table in production — same seam as sources/tables.py);
+    Spark's committer makes directory writes atomic (_SUCCESS marker);
+  * `checkpoints` rows record stage status + row counts;
+  * `lineage` rows record input→output paths per stage;
+  * `metrics` rows record per-partition row counts (append-only, the
+    shape of tracking.py:137-148's metrics.jsonl records);
+  * re-running a finished stage is a no-op (reads its output back) —
+    resume-after-kill drops straight into the first unfinished stage;
+  * task-level retries inside a stage are safe because every stage is
+    a deterministic function of its input (ids are content-derived,
+    not monotonically assigned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mentions import detect_mentions, mentions_with_context
+from ..operators.triples import lift_triples
+
+
+def extract_triples(transcripts: DataFrame, persist: bool = True) -> DataFrame:
+    """In-memory composition: transcripts → mentions → triples.
+
+    ``lift_triples`` references the mentions plan three times (subject
+    extraction, paragraph spine, object join); without materialization
+    Spark re-executes the NER mapInPandas stage three times. Persist
+    is therefore on by default — at table scale the checkpointed
+    KGPipeline below materializes to storage instead.
+    """
+    mentions = mentions_with_context(detect_mentions(transcripts), transcripts)
+    if persist:
+        mentions = mentions.persist()
+    return lift_triples(mentions)
+
+
+class KGPipeline:
+    """Checkpointed, resumable stage runner over a filesystem workdir."""
+
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str = "run-001"):
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id
+        self.meta_dir = os.path.join(workdir, "_meta")
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- state tables -----------------------------------------------------
+
+    def _append_meta(self, name: str, row: dict) -> None:
+        path = os.path.join(self.meta_dir, f"{name}.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def read_meta(self, name: str) -> list[dict]:
+        path = os.path.join(self.meta_dir, f"{name}.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def checkpoints_df(self) -> DataFrame:
+        rows = self.read_meta("checkpoints")
+        return self.spark.createDataFrame(rows) if rows else self.spark.range(0)
+
+    # -- stage execution ---------------------------------------------------
+
+    def _out_path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._out_path(stage), "_SUCCESS"))
+
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        inputs: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Run `stage` unless already complete; record checkpoint,
+        lineage, and per-partition metrics; return the stage output."""
+        out = self._out_path(stage)
+        if self.is_complete(stage):
+            self._append_meta(
+                "checkpoints",
+                {
+                    "run_id": self.run_id, "stage": stage, "status": "skipped",
+                    "rows_in": None, "rows_out": None, "updated_ts": time.time(),
+                },
+            )
+            return self.spark.read.parquet(out)
+
+        t0 = time.time()
+        df = fn()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+
+        result = self.spark.read.parquet(out)
+        # per-partition metrics (append-only, tracking.py:137-148 shape)
+        part_counts = (
+            result.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        rows_out = sum(r["count"] for r in part_counts)
+        for r in part_counts:
+            self._append_meta(
+                "metrics",
+                {
+                    "run_id": self.run_id, "stage": stage,
+                    "key": f"rows_partition_{r['partition_id']}",
+                    "value": r["count"], "ts": time.time(),
+                },
+            )
+        self._append_meta(
+            "checkpoints",
+            {
+                "run_id": self.run_id, "stage": stage, "status": "complete",
+                "rows_in": None, "rows_out": rows_out,
+                "updated_ts": time.time(),
+            },
+        )
+        self._append_meta(
+            "lineage",
+            {
+                "run_id": self.run_id, "stage": stage,
+                "inputs": inputs or [], "output": out,
+                "sec": round(time.time() - t0, 3), "ts": time.time(),
+            },
+        )
+        return result
+
+    # -- the KG DAG ---------------------------------------------------------
+
+    def run(self, transcripts: DataFrame, transcripts_path: str = "<in-memory>") -> dict[str, DataFrame]:
+        """transcripts → mentions → triples (linking/canonicalization
+        stages are appended by callers as they land)."""
+        mentions = self.run_stage(
+            "mentions",
+            lambda: mentions_with_context(detect_mentions(transcripts), transcripts),
+            inputs=[transcripts_path],
+        )
+        triples = self.run_stage(
+            "triples",
+            lambda: lift_triples(mentions),
+            inputs=[self._out_path("mentions")],
+        )
+        return {"mentions": mentions, "triples": triples}

@@ -1,0 +1,76 @@
+"""Driver-contract tests: every oracle-backed queries() entry must match
+its DuckDB oracle_sql() at sf0.01 — row count, column names, and
+order-insensitive values — mirroring the driver's CORRECTNESS check."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return round(value, 6)
+    return value
+
+
+def _rows_to_set(columns, rows):
+    # sort columns by name (driver semantics), normalize values
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_normalize(row[i]) for i in order) for row in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    a = _rows_to_set(spark_cols, spark_rows)
+    b = _rows_to_set(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert {"subj", "pred", "obj", "conv_id", "turn_idx"} <= set(df.columns)
+
+
+def test_rows_only_queries_run(spark):
+    for name in ("kg_mentions", "kg_triples"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.count() > 0
