@@ -95,6 +95,45 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t)
 
 
+def _kg_artifacts(spark: SparkSession):
+    from portuguese_pt_legal_ner_spark.operators.graph import (  # noqa: PLC0415
+        edges_table,
+        entities_table,
+        resolve_entities,
+    )
+    from portuguese_pt_legal_ner_spark.operators.mentions import (  # noqa: PLC0415
+        detect_mentions,
+        mentions_with_context,
+    )
+    from portuguese_pt_legal_ner_spark.operators.triples import lift_triples  # noqa: PLC0415
+    from portuguese_pt_legal_ner_spark.sources.tables import (  # noqa: PLC0415
+        alias_dict_df,
+        synthetic_transcripts,
+    )
+
+    t = synthetic_transcripts(spark, n_conversations=200, seed=42)
+    mentions = mentions_with_context(detect_mentions(t), t).persist()
+    triples = lift_triples(mentions)
+    resolution = resolve_entities(mentions, alias_dict_df(spark)).persist()
+    return mentions, triples, resolution, entities_table, edges_table
+
+
+def _q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking + canonicalization → entities table (SURVEY
+    §2.7). Rows-only; gated by pytest (linking/CC/graph suites)."""
+    _prepare(spark)
+    mentions, _, resolution, entities_table, _ = _kg_artifacts(spark)
+    return entities_table(resolution)
+
+
+def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph edge materialization with salted aggregation (SURVEY
+    §2.7). Rows-only; gated by pytest."""
+    _prepare(spark)
+    _, triples, resolution, _, edges_table = _kg_artifacts(spark)
+    return edges_table(triples, resolution, salt_buckets=16)
+
+
 def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-groupBy-agg (SURVEY §2.4 A1-A3 math)."""
     li = _load(spark, sf_dir, "lineitem")
@@ -401,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_edges": _q_kg_edges,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_segment_revenue": _q_q3_segment_revenue,
         "q5_nation_revenue": _q_q5_nation_revenue,

@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import edges_table, entities_table, resolve_entities
 from ..operators.mentions import detect_mentions, mentions_with_context
 from ..operators.triples import lift_triples
 
@@ -148,9 +149,16 @@ class KGPipeline:
 
     # -- the KG DAG ---------------------------------------------------------
 
-    def run(self, transcripts: DataFrame, transcripts_path: str = "<in-memory>") -> dict[str, DataFrame]:
-        """transcripts → mentions → triples (linking/canonicalization
-        stages are appended by callers as they land)."""
+    def run(
+        self,
+        transcripts: DataFrame,
+        alias_dict: DataFrame | None = None,
+        transcripts_path: str = "<in-memory>",
+        salt_buckets: int = 16,
+    ) -> dict[str, DataFrame]:
+        """Full DAG: transcripts → mentions → triples → entity
+        resolution (exact + LSH linking + connected components) →
+        entities + edges tables."""
         mentions = self.run_stage(
             "mentions",
             lambda: mentions_with_context(detect_mentions(transcripts), transcripts),
@@ -161,4 +169,24 @@ class KGPipeline:
             lambda: lift_triples(mentions),
             inputs=[self._out_path("mentions")],
         )
-        return {"mentions": mentions, "triples": triples}
+        out = {"mentions": mentions, "triples": triples}
+        if alias_dict is not None:
+            resolution = self.run_stage(
+                "resolution",
+                lambda: resolve_entities(mentions, alias_dict),
+                inputs=[self._out_path("mentions")],
+            )
+            entities = self.run_stage(
+                "entities",
+                lambda: entities_table(resolution),
+                inputs=[self._out_path("resolution")],
+            )
+            edges = self.run_stage(
+                "edges",
+                lambda: edges_table(triples, resolution, salt_buckets=salt_buckets),
+                inputs=[self._out_path("triples"), self._out_path("resolution")],
+            )
+            out.update(
+                {"resolution": resolution, "entities": entities, "edges": edges}
+            )
+        return out

@@ -71,6 +71,6 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ("kg_mentions", "kg_triples"):
+    for name in ("kg_mentions", "kg_triples", "kg_entities", "kg_edges"):
         df = entrymod.queries()[name](spark, SF_DIR)
         assert df.count() > 0
