@@ -436,6 +436,220 @@ GROUP BY a.vec_id
 """
 
 
+def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (training-data pipeline op)."""
+    from portuguese_pt_legal_ner_spark.operators.textstats import lang_id  # noqa: PLC0415
+
+    return lang_id(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "lang_score"
+    )
+
+
+_LANG_SQL_CASES = {
+    "en": "('the','of','and','to','a','in','is','that')",
+    "es": "('el','la','de','que','y','los','en','un')",
+    "fr": "('le','la','de','et','les','des','un','une')",
+    "de": "('der','die','das','und','nicht','ein','ist','zu')",
+    "pt": "('o','a','de','que','e','do','da','em')",
+}
+
+_DOC_LANG_SQL = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks"
+    " FROM documents), scores AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang,"
+        f" CAST(len(list_filter(toks, x -> x IN {words})) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS score FROM t"
+        for lang, words in sorted(_LANG_SQL_CASES.items())
+    )
+    + "), best AS (SELECT doc_id, lang, score,"
+    " row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn"
+    " FROM scores)"
+    " SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,"
+    " round(score, 6) AS lang_score FROM best WHERE rn = 1"
+)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style doc fingerprint: min md5(word-5-gram)."""
+    from portuguese_pt_legal_ner_spark.operators.textstats import fingerprint  # noqa: PLC0415
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+_DOC_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')
+         ))) AS gram
+  FROM t
+)
+SELECT doc_id, min(md5(gram)) AS fingerprint FROM g GROUP BY doc_id
+"""
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window lag: a new session starts after a
+    >30 min gap per user (SURVEY §2.6 window functions)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn(
+            "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_new").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _revenue_sum().alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: EXCEPT (distinct)."""
+    cust = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = _load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.exceptAll(ordered.distinct()).distinct()
+
+
+_CUST_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clustering (rows-only: xxhash64 minhash
+    signatures are engine-specific; verified by pytest on planted
+    duplicates)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import minhash_dedup  # noqa: PLC0415
+
+    return minhash_dedup(_load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; pytest-gated)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        simhash_neardup_pairs,
+    )
+
+    return simhash_neardup_pairs(
+        _load(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a bounded pair set (doc_id < 40 on the
+    left) — the dedup verifier, with a DuckDB oracle."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 40), docs).filter(
+        F.col("jaccard") > 0.1
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 3, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                                           i + 1, i + 3), ' ')
+         )) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 40
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) > 0.1
+"""
+
+
+def _q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (rows-only; recall pytest-gated)."""
+    from portuguese_pt_legal_ner_spark.operators.similarity import srp_ann_topk  # noqa: PLC0415
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return srp_ann_topk(emb, q, k=10)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (label-cell) approximate top-k (rows-only; pytest-gated)."""
+    from portuguese_pt_legal_ner_spark.operators.similarity import ivf_topk  # noqa: PLC0415
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(emb, q, k=10, nprobe=2)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: synthetic assets → Arrow-
+    batched feature extraction with the deterministic fake codec
+    (rows-only; real codecs stubbed per brief)."""
+    _prepare(spark)
+    from portuguese_pt_legal_ner_spark.operators.multimodal import (  # noqa: PLC0415
+        extract_features,
+        fake_decode,
+        synthetic_assets,
+    )
+
+    return extract_features(synthetic_assets(spark, n=200), decoder=fake_decode)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": _q_kg_mentions,
@@ -449,8 +663,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "events_sessions": _q_events_sessions,
+        "rollup_revenue": _q_rollup_revenue,
+        "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
+        "ann_srp_topk": _q_ann_srp_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -465,6 +690,16 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": _EVENTS_DAILY_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
+        "doc_lang_id": _DOC_LANG_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
+        "customers_without_orders": _CUST_WITHOUT_ORDERS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_threshold_count": _ANN_SQL,
+        # dedup_minhash / dedup_simhash / ann_srp_topk / ann_ivf_topk /
+        # multimodal_features: rows-only (engine-specific hashes or
+        # binary payloads); each is pytest-gated against exact
+        # baselines (planted dups, numpy brute force, fake codec)
     }

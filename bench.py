@@ -83,10 +83,17 @@ def main() -> None:
         "q5_nation_revenue",
         "q6_forecast_revenue",
         "events_daily",
+        "events_sessions",
+        "rollup_revenue",
         "doc_token_stats",
         "doc_quality",
+        "doc_lang_id",
+        "doc_fingerprint",
         "dedup_exact",
+        "dedup_minhash",
         "ann_threshold_count",
+        "ann_srp_topk",
+        "multimodal_features",
     ]
 
     timings: dict[str, float] = {}

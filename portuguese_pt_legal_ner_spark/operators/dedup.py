@@ -1,0 +1,244 @@
+"""Document deduplication — the training-data pipeline ops.
+
+Five dedup families over the `documents` table (doc_id, text, ...),
+each pure-DataFrame (no Python UDFs) so they ride whole-stage codegen:
+
+  exact        — hash-groupBy on md5(text); min doc_id survives.
+  minhash-LSH  — word n-gram shingles → minhash signature → banded
+                 candidate join → exact-Jaccard verify → connected
+                 components → cluster representative. The scale path:
+                 candidates are generated per band bucket, never all
+                 pairs.
+  simhash      — 64-bit simhash from token hashes; near-dup pairs =
+                 hamming distance ≤ k, blocked on 16-bit bands
+                 (a pair within hamming ≤ 3 of 64 bits must agree on
+                 at least one of 4 bands — pigeonhole).
+  n-gram Jaccard — direct verify for candidate pairs (the verifier
+                 minhash calls; also exposed standalone).
+  embedding cosine — near-dup pairs over `embeddings` via signed-
+                 random-projection bucketing (see similarity.py for
+                 the ANN variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import connected_components
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined); whole text when shorter."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_copies, keep_doc_id) — one row per distinct text."""
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    def _mh(i: int) -> Column:
+        # single-arg lambda: F.transform treats 2-arg callables as
+        # (element, index) — see linking.py
+        return F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, F.lit(i))))
+
+    return F.array(*[_mh(i) for i in range(N_HASHES)])
+
+
+def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard."""
+    base = docs.select(
+        "doc_id", word_ngrams(F.col("text"), ngram).alias("sh")
+    ).withColumn("sig", _minhash_sig(F.col("sh")))
+
+    bands = base.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_idx", "band.band_hash")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame, threshold: float = 0.8, ngram: int = 3
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc; cluster_id = min doc_id of
+    its near-duplicate component (singletons map to themselves)."""
+    pairs = minhash_candidate_pairs(docs, ngram).filter(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(
+        pairs.select(F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    )
+    all_docs = docs.select(F.col("doc_id").cast("string").alias("node"))
+    return (
+        all_docs.join(comps, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit simhash: sum ±1 per bit over token xxhash64s, take signs.
+
+    Assembled bit-by-bit with bitwise ops on the aggregated sums —
+    stays in codegen; tokens explode is avoided by aggregating the
+    token array directly with F.aggregate into a 64-slot sum array.
+    """
+    from functools import reduce  # noqa: PLC0415
+
+    toks = tokens_col(text)
+    # hash once per token, then fan out to a 64-slot ±1 array (shift
+    # amounts must be static ints in the Python API, hence unrolled)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_arrays = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
+        ),
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    sums = F.aggregate(
+        bit_arrays, zero, lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b)
+    )
+    terms = [
+        F.when(
+            sums[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k,
+    blocked on 4 × 16-bit bands (pigeonhole: ≤3 differing bits over
+    64 leaves ≥1 of 4 bands identical)."""
+    sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sim"))
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("sim"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_a: DataFrame, docs_b: DataFrame, ngram: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for all (a, b) cross pairs — the direct
+    verifier; use only on pre-blocked/bounded inputs."""
+    a = docs_a.select(
+        F.col("doc_id").alias("doc_a"), word_ngrams(F.col("text"), ngram).alias("sh_a")
+    )
+    b = docs_b.select(
+        F.col("doc_id").alias("doc_b"), word_ngrams(F.col("text"), ngram).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

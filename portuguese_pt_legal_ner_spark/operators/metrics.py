@@ -1,0 +1,101 @@
+"""Evaluation metrics as Spark joins/aggregations.
+
+Re-expresses the reference's seqeval-based compute_metrics
+(src/training.py:46-101: argmax → mask -100 → entity-level P/R/F1 +
+per-type classification report) over mentions TABLES instead of label
+sequences: seqeval's entity-level semantics are exactly "exact-span,
+exact-type match", i.e. an equi-join between gold and predicted
+mention tables on (conv_id, turn_idx, para_idx, start, end, label)
+(SURVEY §2.4 A1).
+
+`classification_report`: per-label precision/recall/F1/support plus
+the micro average — the reference's per-type report + micro row
+(src/training.py:81-99) via a single GROUP BY + a grand-total union
+(a rollup, SURVEY §2.6).
+
+`confusion_matrix`: span-level analog of training.py:195-207 — spans
+matched on position but not label are (gold_label, pred_label) cells;
+unmatched gold spans are (label, 'O'); unmatched predictions are
+('O', label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KEYS = ["conv_id", "turn_idx", "para_idx", "start", "end"]
+
+
+def classification_report(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """(label, precision, recall, f1, support) per label + '__micro__'."""
+    tp = (
+        gold.select(*SPAN_KEYS, "label")
+        .join(pred.select(*SPAN_KEYS, "label"), SPAN_KEYS + ["label"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    gold_counts = gold.groupBy("label").agg(F.count(F.lit(1)).alias("support"))
+    pred_counts = pred.groupBy("label").agg(F.count(F.lit(1)).alias("n_pred"))
+
+    per_label = (
+        gold_counts.join(pred_counts, "label", "full")
+        .join(tp, "label", "left")
+        .na.fill(0, ["tp", "support", "n_pred"])
+    )
+    totals = per_label.agg(
+        F.lit("__micro__").alias("label"),
+        F.sum("support").alias("support"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+    )
+    all_rows = per_label.unionByName(totals)
+    precision = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0)
+    return all_rows.select(
+        "label",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(
+            F.when(
+                (precision + recall) > 0,
+                2 * precision * recall / (precision + recall),
+            ).otherwise(0.0),
+            6,
+        ).alias("f1"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def span_pr(gold: DataFrame, pred: DataFrame) -> tuple[float, float]:
+    """Scalar micro precision/recall — the BASELINE P/R≥0.95 gate."""
+    row = (
+        classification_report(gold, pred)
+        .filter(F.col("label") == "__micro__")
+        .collect()[0]
+    )
+    return float(row["precision"]), float(row["recall"])
+
+
+def confusion_matrix(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """(gold_label, pred_label, n) span-level confusion counts."""
+    g = gold.select(*SPAN_KEYS, F.col("label").alias("gold_label"))
+    p = pred.select(*SPAN_KEYS, F.col("label").alias("pred_label"))
+    matched = g.join(p, SPAN_KEYS, "full").select(
+        F.coalesce(F.col("gold_label"), F.lit("O")).alias("gold_label"),
+        F.coalesce(F.col("pred_label"), F.lit("O")).alias("pred_label"),
+    )
+    return matched.groupBy("gold_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def triple_pr(gold: DataFrame, pred: DataFrame) -> tuple[float, float]:
+    """Triple-level micro P/R on full-row equality (the north_rule's
+    'matching the reference's emitted triples' measure)."""
+    keys = ["conv_id", "turn_idx", "para_idx", "subj", "pred", "obj"]
+    g = gold.select(*keys).dropDuplicates(keys)
+    p = pred.select(*keys).dropDuplicates(keys)
+    tp = g.join(p, keys).count()
+    n_g, n_p = g.count(), p.count()
+    return (tp / n_p if n_p else 0.0, tp / n_g if n_g else 0.0)

@@ -1,0 +1,159 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Image/audio/video ride as `binary` columns plus a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over mapInPandas. The image/audio codec libraries are NOT
+in this container, so the codec call is stubbed behind a seam
+(`decoder=` parameter; the default raises NotImplementedError), while
+everything Spark-side — schema, partitioning, UDF signature, batch
+shape, metadata propagation — is real and tested with a deterministic
+fake codec that parses the synthetic payload header.
+
+Synthetic payload format (deterministic, generated executor-side):
+  bytes 0-3   magic b'FAKE'
+  bytes 4-5   width  (uint16 BE)
+  bytes 6-7   height (uint16 BE)
+  bytes 8+    xxhash-derived filler, length = width*height % 4096
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_fake_payload(asset_id: int, kind: str) -> bytes:
+    h = hashlib.sha256(f"{kind}:{asset_id}".encode()).digest()
+    width = 16 + (h[0] % 64)
+    height = 16 + (h[1] % 64)
+    filler_len = (width * height) % 4096
+    filler = (h * (filler_len // len(h) + 1))[:filler_len]
+    return b"FAKE" + struct.pack(">HH", width, height) + filler
+
+
+def synthetic_assets(
+    spark: SparkSession, n: int = 100, partitions: int = 8
+) -> DataFrame:
+    """Deterministic binary assets table, generated executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for batch in batches:
+            out = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for aid in batch["id"]:
+                aid = int(aid)
+                kind = kinds[aid % 3]
+                out["asset_id"].append(aid)
+                out["kind"].append(kind)
+                out["payload"].append(make_fake_payload(aid, kind))
+                out["meta"].append({"source": "synth", "codec": "fake"})
+            yield pd.DataFrame(out)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in codec: parses the FAKE header and emits
+    an 8-dim feature vector from the filler bytes."""
+    if payload[:4] != b"FAKE":
+        raise ValueError("not a FAKE payload")
+    width, height = struct.unpack(">HH", payload[4:8])
+    body = payload[8:]
+    feats = [
+        (sum(body[i::8]) % 997) / 997.0 if body else 0.0 for i in range(8)
+    ]
+    return width, height, feats
+
+
+def real_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """The production seam: swap in PIL/torchaudio/ffmpeg here.
+
+    Those libraries are not in this container — STUB (clearly marked
+    per the task brief); the Spark-side plumbing around it is real."""
+    raise NotImplementedError(
+        "image/audio codecs unavailable in this environment; "
+        "inject decoder=fake_decode or a real codec"
+    )
+
+
+def extract_features(
+    assets: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, list[float]]] = real_decode,
+) -> DataFrame:
+    """assets → per-asset features via Arrow-batched mapInPandas.
+
+    Batch shape: the decoder runs once per row but the loop is inside
+    one Python call per Arrow batch (same structure the NER detector
+    uses); per-asset failures are isolated (skip + continue)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {f.name: [] for f in FEATURES_SCHEMA.fields}
+            for aid, kind, payload in zip(
+                batch["asset_id"], batch["kind"], batch["payload"]
+            ):
+                try:
+                    width, height, feats = decoder(bytes(payload))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue  # per-asset isolation
+                out["asset_id"].append(int(aid))
+                out["kind"].append(kind)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_bytes"].append(len(payload))
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    pruned = assets.select("asset_id", "kind", "payload")
+    return pruned.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 512
+) -> DataFrame:
+    """Frame-sampling plumbing demo: slice payloads into fixed-size
+    'frames' JVM-side (no UDF) — the shape a video pipeline uses
+    before per-frame decode."""
+    n_frames = F.floor(F.length("payload") / every_n_bytes).cast("int")
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                    lambda i: F.substring(
+                        F.col("payload"), (i * every_n_bytes + 1), every_n_bytes
+                    ),
+                )
+            ).alias("frame_idx", "frame_bytes"),
+        )
+    )

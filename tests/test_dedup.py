@@ -1,0 +1,98 @@
+"""Dedup tests: planted exact and near duplicates; minhash recall;
+simhash hamming; ngram-Jaccard verifier; cluster assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portuguese_pt_legal_ner_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_neardup_pairs,
+    word_ngrams,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the tall green tree near the old stone wall"
+)
+NEAR = BASE.replace("lazy", "sleepy")          # 1-word change
+FAR = "completely different text about spark query engines and shuffles etc"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE),                  # exact dupes
+        (2, NEAR),                             # near dup of 0/1
+        (3, FAR),
+        (4, "short text"),
+        (5, BASE + " with a small suffix added here"),  # near-ish
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [sorted(r["ng"]) for r in df.select(word_ngrams(F.col("text")).alias("ng")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n → whole text
+
+
+def test_exact_dedup(spark, docs):
+    res = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert res[0] == 2          # docs 0,1 identical, keep min id
+    assert 1 not in res
+    assert res[2] == 1
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 3) not in pairs  # unrelated text never a candidate
+
+
+def test_minhash_dedup_clusters(spark, docs):
+    clusters = {r["doc_id"]: r["cluster_id"] for r in minhash_dedup(docs, 0.7).collect()}
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    assert clusters[3] == 3
+    assert clusters[4] == 4
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()
+    }
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 12
+
+
+def test_simhash_neardup_pairs_block(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_verifier(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, docs).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 3)] == 0.0
+    assert 0.5 < pairs[(0, 2)] < 1.0

@@ -1,0 +1,105 @@
+"""Metrics-math tests: the Spark P/R/F1 joins reproduce seqeval
+entity-level numbers on hand-computable cases (SURVEY §5 item 5,
+mirroring src/training.py:46-101 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from portuguese_pt_legal_ner_spark.operators.metrics import (
+    classification_report,
+    confusion_matrix,
+    span_pr,
+)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, para_idx int, start int, end int, label string"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def gold(spark):
+    return _df(
+        spark,
+        [
+            ("c1", 0, 0, 0, 10, "PER"),
+            ("c1", 0, 0, 15, 21, "LOC"),
+            ("c1", 1, 0, 0, 8, "ORG"),
+            ("c2", 0, 0, 5, 15, "DAT"),
+        ],
+    )
+
+
+def test_perfect_predictions(spark, gold):
+    p, r = span_pr(gold, gold)
+    assert p == 1.0 and r == 1.0
+
+
+def test_hand_computed_report(spark, gold):
+    # pred: PER exact hit; LOC wrong boundaries; ORG hit; DAT missed;
+    # one spurious TEL  →  tp: PER 1, ORG 1; n_pred: PER 1, LOC 1,
+    # ORG 1, TEL 1; support: PER 1, LOC 1, ORG 1, DAT 1
+    pred = _df(
+        spark,
+        [
+            ("c1", 0, 0, 0, 10, "PER"),
+            ("c1", 0, 0, 14, 21, "LOC"),   # off-by-one start → miss
+            ("c1", 1, 0, 0, 8, "ORG"),
+            ("c2", 0, 0, 30, 35, "TEL"),   # spurious
+        ],
+    )
+    rep = {r["label"]: r for r in classification_report(gold, pred).collect()}
+    assert rep["PER"]["precision"] == 1.0 and rep["PER"]["recall"] == 1.0
+    assert rep["LOC"]["precision"] == 0.0 and rep["LOC"]["recall"] == 0.0
+    assert rep["ORG"]["f1"] == 1.0
+    assert rep["DAT"]["precision"] == 0.0 and rep["DAT"]["support"] == 1
+    assert rep["TEL"]["support"] == 0 and rep["TEL"]["precision"] == 0.0
+    micro = rep["__micro__"]
+    # micro: tp=2, n_pred=4, support=4 → P=R=0.5, F1=0.5 (seqeval math)
+    assert micro["precision"] == 0.5
+    assert micro["recall"] == 0.5
+    assert micro["f1"] == 0.5
+    assert micro["support"] == 4
+
+
+def test_label_switch_counts_as_miss_and_spurious(spark):
+    # same span, wrong type: seqeval counts a FP for pred type and FN
+    # for gold type
+    gold = _df(spark, [("c1", 0, 0, 0, 5, "PER")])
+    pred = _df(spark, [("c1", 0, 0, 0, 5, "ORG")])
+    rep = {r["label"]: r for r in classification_report(gold, pred).collect()}
+    assert rep["PER"]["recall"] == 0.0
+    assert rep["ORG"]["precision"] == 0.0
+    assert rep["__micro__"]["precision"] == 0.0
+
+
+def test_confusion_matrix_cells(spark):
+    gold = _df(
+        spark,
+        [
+            ("c1", 0, 0, 0, 5, "PER"),   # matched, label switch → (PER, ORG)
+            ("c1", 0, 0, 10, 15, "LOC"), # missed → (LOC, O)
+        ],
+    )
+    pred = _df(
+        spark,
+        [
+            ("c1", 0, 0, 0, 5, "ORG"),
+            ("c1", 0, 0, 20, 25, "DAT"),  # spurious → (O, DAT)
+        ],
+    )
+    cells = {
+        (r["gold_label"], r["pred_label"]): r["n"]
+        for r in confusion_matrix(gold, pred).collect()
+    }
+    assert cells == {("PER", "ORG"): 1, ("LOC", "O"): 1, ("O", "DAT"): 1}
+
+
+def test_empty_predictions(spark, gold):
+    pred = _df(spark, [])
+    p, r = span_pr(gold, pred)
+    assert p == 0.0 and r == 0.0

@@ -1,0 +1,183 @@
+"""Text analysis + similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from portuguese_pt_legal_ner_spark.operators.multimodal import (
+    extract_features,
+    fake_decode,
+    make_fake_payload,
+    sample_frames,
+    synthetic_assets,
+)
+from portuguese_pt_legal_ner_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    srp_ann_topk,
+)
+from portuguese_pt_legal_ner_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (0, "the cat sat of the mat and the dog"),
+        (1, "el perro y la casa de los gatos en un jardin"),
+        (2, "xyzzy qwerty zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+
+
+def test_quality_features_ranges(spark, docs):
+    feats = quality_features(docs).collect()
+    for r in feats:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_quality_prefers_diverse_text(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam"), (1, "varied words keep texts informative here")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality_score"] for r in quality_features(df).collect()}
+    assert q[1] > q[0]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world42 a-b")], "doc_id long, text string")
+    r = token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_subword_pieces"] >= 3
+
+
+def test_fingerprint_stable_and_discriminative(spark, docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert len(set(fp1.values())) > len(fp1) * 0.5  # mostly distinct
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def _numpy_topk(emb_rows, qids, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        qv = mat[ids == q][0]
+        cos = mat @ qv
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got_rows = brute_force_topk(emb, queries, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["cid"])
+    want = _numpy_topk(emb.collect(), list(got.keys()), 5)
+    assert got == want
+
+
+def test_srp_ann_recall(spark, emb, queries):
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = srp_ann_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["cid"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # ANN trade-off, nonzero
+
+
+def test_ivf_probes_cells(spark, emb, queries):
+    res = ivf_topk(emb, queries, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert len(rows) == 5
+        assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_fake_payload_roundtrip():
+    p = make_fake_payload(7, "image")
+    w, h, feats = fake_decode(p)
+    assert 16 <= w < 80 and 16 <= h < 80
+    assert len(feats) == 8
+
+
+def test_extract_features_plumbing(spark):
+    assets = synthetic_assets(spark, n=30, partitions=4)
+    feats = extract_features(assets, decoder=fake_decode)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic across re-runs
+    again = extract_features(assets, decoder=fake_decode).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_real_decoder_is_stubbed(spark):
+    assets = synthetic_assets(spark, n=3, partitions=1)
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_features(assets).collect()
+
+
+def test_sample_frames(spark):
+    assets = synthetic_assets(spark, n=30, partitions=4)
+    frames = sample_frames(assets, every_n_bytes=256)
+    rows = frames.collect()
+    assert rows, "no video frames sampled"
+    assert all(len(r["frame_bytes"]) <= 256 for r in rows)
