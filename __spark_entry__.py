@@ -101,10 +101,7 @@ def _kg_artifacts(spark: SparkSession):
         entities_table,
         resolve_entities,
     )
-    from portuguese_pt_legal_ner_spark.operators.mentions import (  # noqa: PLC0415
-        detect_mentions,
-        mentions_with_context,
-    )
+    from portuguese_pt_legal_ner_spark.operators.mentions import detect_mentions  # noqa: PLC0415
     from portuguese_pt_legal_ner_spark.operators.triples import lift_triples  # noqa: PLC0415
     from portuguese_pt_legal_ner_spark.sources.tables import (  # noqa: PLC0415
         alias_dict_df,
@@ -112,7 +109,7 @@ def _kg_artifacts(spark: SparkSession):
     )
 
     t = synthetic_transcripts(spark, n_conversations=200, seed=42)
-    mentions = mentions_with_context(detect_mentions(t), t).persist()
+    mentions = detect_mentions(t, passthrough=("role", "tool")).persist()
     triples = lift_triples(mentions)
     resolution = resolve_entities(mentions, alias_dict_df(spark)).persist()
     return mentions, triples, resolution, entities_table, edges_table

@@ -1,52 +1,60 @@
 """Two-parallelism-level scaling evidence (BASELINE.md row 2).
 
-The north_rule's ≥0.8 scaling efficiency between N and 4N executors
-cannot use a real cluster in this sandbox; the sanctioned evidence is
-the same job on the same input at two parallelism levels. This script
-runs the KG pipeline (executor-side transcript synthesis → vectorized
-NER mentions → triple lifting) at local[8] and local[32], asserts the
-outputs are identical row-for-row (same deterministic input), and
-reports triples/sec at both plus efficiency = (thr_32 / thr_8) / 4.
+The north_rule's ≥0.8 throughput scaling efficiency between N and 4N
+executors cannot use a real cluster in this sandbox; the sanctioned
+evidence is the same job on the same input at two parallelism levels.
+This script runs the KG pipeline (parquet transcripts → vectorized
+NER mentions → triple lifting) at local[8] and local[32] and reports
+triples/sec at both plus efficiency = (thr_32 / thr_8) / 4.
 
-Each level runs in a fresh SparkSession (JVM is reused across
-sessions in-process, so level ordering could bias via JIT warm-up;
-we run a warm-up pass first and report the better of two timed reps).
+Methodology notes (each guards against a way to cheat or mismeasure):
+  * the input parquet is synthesized once and shared — identical input;
+  * each level runs in a FRESH subprocess whose CPU affinity is pinned
+    to exactly N cores BEFORE the JVM starts: in unpinned local[8]
+    the JVM's scan/Arrow/GC threads free-ride on the other 24 cores,
+    silently giving the "8-core" job more than 8 CPUs and deflating
+    measured efficiency relative to a real 8-core executor allocation;
+  * per level: one warm-up pass (JIT + python-worker fork) then REPS
+    timed runs, best-of (the machine shows thermal/JIT drift);
+  * outputs are asserted identical across levels (deterministic job).
 
-Results are printed as one JSON line and appended to BENCH.md.
+Results print as one JSON line and append to BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "20000"))
-REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+INPUT_FILES = 256
 
 
 def materialize_input() -> str:
-    """Synthesize the transcripts table once (untimed); both levels
-    read the identical parquet — same job, same input."""
     from portuguese_pt_legal_ner_spark.session import build_session
     from portuguese_pt_legal_ner_spark.sources.tables import distributed_transcripts
 
-    path = f"/tmp/spark_graft_scaling_{N_CONVS}.parquet"
+    path = f"/tmp/spark_graft_scaling_{N_CONVS}_{INPUT_FILES}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         spark = build_session(app_name="kg-scaling-gen", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
         distributed_transcripts(
-            spark, n_conversations=N_CONVS, seed=42, partitions=128
+            spark, n_conversations=N_CONVS, seed=42, partitions=INPUT_FILES
         ).write.mode("overwrite").parquet(path)
         spark.stop()
     return path
 
 
-def run_level(cores: int, path: str, warmup: bool) -> tuple[float, int]:
+def _child(cores: int, path: str, reps: int) -> None:
+    """Runs inside the pinned subprocess."""
+    os.sched_setaffinity(0, set(range(cores)))
     from portuguese_pt_legal_ner_spark.plans.pipeline import extract_triples
     from portuguese_pt_legal_ner_spark.session import build_session
 
@@ -54,31 +62,48 @@ def run_level(cores: int, path: str, warmup: bool) -> tuple[float, int]:
         app_name=f"kg-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            # single-JVM local mode: the 'driver' heap is the whole
+            # cluster's memory; 8g thrashes GC at 32 concurrent tasks
+            # with a multi-GB stage cache (measured: eff 0.78 → 0.53
+            # when the corpus doubled past the 8g comfort zone)
+            "spark.driver.memory": "64g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     def job() -> int:
-        tr = extract_triples(spark.read.parquet(path))
-        n = tr.count()
-        spark.catalog.clearCache()  # drop the persisted mentions between reps
+        n = extract_triples(spark.read.parquet(path)).count()
+        spark.catalog.clearCache()
         return n
 
-    if warmup:
-        job()
+    job()  # warm-up: JIT + python worker fork, untimed
     best = float("inf")
     n = 0
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         n = job()
         best = min(best, time.perf_counter() - t0)
     spark.stop()
-    return best, n
+    print(json.dumps({"sec": best, "n": n}))
+
+
+def run_level(cores: int, path: str) -> tuple[float, int]:
+    proc = subprocess.run(
+        [sys.executable, __file__, "--child", str(cores), path, str(REPS)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    return result["sec"], result["n"]
 
 
 def main() -> None:
     path = materialize_input()
-    sec8, n8 = run_level(8, path, warmup=True)
-    sec32, n32 = run_level(32, path, warmup=True)
+    sec8, n8 = run_level(8, path)
+    sec32, n32 = run_level(32, path)
     assert n8 == n32, f"output differs across parallelism: {n8} vs {n32}"
     thr8 = n8 / sec8
     thr32 = n32 / sec32
@@ -94,17 +119,23 @@ def main() -> None:
         "triples_per_sec_local8": round(thr8, 1),
         "triples_per_sec_local32": round(thr32, 1),
         "target": ">=0.8",
+        "method": "CPU-affinity-pinned subprocess per level; best of "
+        f"{REPS} reps after warm-up; identical pre-materialized input",
     }
     print(json.dumps(out))
     with open(Path(__file__).resolve().parent / "BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run (n_convs={N_CONVS}, triples={n8})\n\n"
+            f"\n## Scaling run (n_convs={N_CONVS}, triples={n8}, "
+            f"affinity-pinned, best of {REPS})\n\n"
             f"| parallelism | sec | triples/sec |\n|---|---|---|\n"
-            f"| local[8] | {sec8:.2f} | {thr8:.1f} |\n"
-            f"| local[32] | {sec32:.2f} | {thr32:.1f} |\n\n"
+            f"| local[8] (pinned to 8 cores) | {sec8:.2f} | {thr8:.1f} |\n"
+            f"| local[32] (pinned to 32 cores) | {sec32:.2f} | {thr32:.1f} |\n\n"
             f"Scaling efficiency (8→32 cores): **{eff:.3f}** (target ≥ 0.8)\n"
         )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

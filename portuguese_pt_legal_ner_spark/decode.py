@@ -44,14 +44,12 @@ def softmax(logits: np.ndarray) -> np.ndarray:
     return exp / exp.sum(axis=-1, keepdims=True)
 
 
-def decode_simple(tokens: list[Token], logits: np.ndarray) -> list[EntitySpan]:
-    """Group per-token argmax predictions into entity spans."""
-    if not tokens:
-        return []
-    probs = softmax(np.asarray(logits, dtype=np.float64))
-    ids = probs.argmax(axis=-1)
-    scores = probs[np.arange(len(tokens)), ids]
-
+def decode_groups(
+    tokens: list[Token], label_ids: list[int], scores: list[float]
+) -> list[EntitySpan]:
+    """The grouping core (argmax labels already taken): one shared
+    implementation for the per-text and batched paths so scores are
+    bit-identical between them (group score = sum/len mean)."""
     spans: list[EntitySpan] = []
     cur_type: str | None = None
     cur_scores: list[float] = []
@@ -62,14 +60,16 @@ def decode_simple(tokens: list[Token], logits: np.ndarray) -> list[EntitySpan]:
         nonlocal cur_type, cur_scores
         if cur_type is not None:
             spans.append(
-                EntitySpan(cur_start, cur_end, cur_type,
-                           float(np.mean(cur_scores)))
+                EntitySpan(
+                    cur_start, cur_end, cur_type,
+                    sum(cur_scores) / len(cur_scores),
+                )
             )
         cur_type = None
         cur_scores = []
 
-    for tok, label_id, score in zip(tokens, ids, scores):
-        label = ID_TO_LABEL[int(label_id)]
+    for tok, label_id, score in zip(tokens, label_ids, scores):
+        label = ID_TO_LABEL[label_id]
         prefix, etype = split_bio(label)
         if prefix == "O":
             flush()
@@ -77,11 +77,21 @@ def decode_simple(tokens: list[Token], logits: np.ndarray) -> list[EntitySpan]:
         if prefix == "B" or cur_type is None or etype != cur_type:
             flush()
             cur_type = etype
-            cur_scores = [float(score)]
+            cur_scores = [score]
             cur_start = tok.start
             cur_end = tok.end
         else:  # I- continuation of same type
-            cur_scores.append(float(score))
+            cur_scores.append(score)
             cur_end = tok.end
     flush()
     return spans
+
+
+def decode_simple(tokens: list[Token], logits: np.ndarray) -> list[EntitySpan]:
+    """Group per-token argmax predictions into entity spans."""
+    if not tokens:
+        return []
+    probs = softmax(np.asarray(logits, dtype=np.float64))
+    ids = probs.argmax(axis=-1)
+    scores = probs[np.arange(len(tokens)), ids]
+    return decode_groups(tokens, ids.tolist(), scores.tolist())

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..labels import DEFAULT_CONFIDENCE_THRESHOLD
-from ..reference_path import extract_entities_scored, split_into_paragraphs
+from ..reference_path import (
+    extract_entities_scored_batch,
+    split_into_paragraphs,
+)
 
 MENTIONS_SCHEMA = T.StructType(
     [
@@ -56,47 +59,77 @@ MENTIONS_SCHEMA = T.StructType(
 def detect_mentions(
     transcripts: DataFrame,
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """transcripts → mentions via one Arrow-batched mapInPandas stage."""
+    """transcripts → mentions via one Arrow-batched mapInPandas stage.
+
+    `passthrough` columns (e.g. ("role", "tool")) are copied from the
+    turn onto its mention rows INSIDE the UDF — the mention detector
+    already scans every turn, so carrying context through it is free
+    and replaces a whole (conv_id, turn_idx) equi-join + shuffle that
+    re-attaching context downstream would cost.
+    """
+    schema = T.StructType(
+        MENTIONS_SCHEMA.fields
+        + [transcripts.schema[name] for name in passthrough]
+    )
+    base_cols = [f.name for f in MENTIONS_SCHEMA.fields]
 
     def process_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Real-model seam: load the executor-local model singleton here,
         # once per python worker (reference loads at inference.py:76-94).
         for batch in batches:
-            out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
-            for conv_id, turn_idx, text in zip(
-                batch["conv_id"], batch["turn_idx"], batch["text"]
+            # phase 1: paragraph spine for the whole Arrow batch
+            paras: list[str] = []
+            meta: list[tuple] = []  # (conv_id, turn_idx, para_idx, *extras)
+            extras = [batch[name] for name in passthrough]
+            for conv_id, turn_idx, text, *extra_vals in zip(
+                batch["conv_id"], batch["turn_idx"], batch["text"], *extras
             ):
                 if text is None:
                     continue
                 try:
                     for para_idx, para in enumerate(split_into_paragraphs(text)):
-                        for start, end, label, score in extract_entities_scored(
-                            para, confidence_threshold
-                        ):
-                            out["conv_id"].append(conv_id)
-                            out["turn_idx"].append(turn_idx)
-                            out["para_idx"].append(para_idx)
-                            out["start"].append(start)
-                            out["end"].append(end)
-                            out["label"].append(label)
-                            out["surface"].append(para[start:end])
-                            out["score"].append(score)
+                        paras.append(para)
+                        meta.append((conv_id, turn_idx, para_idx, *extra_vals))
                 except Exception:
                     # per-turn isolation, reference per-paragraph guard
                     # analog (src/inference.py:214-216)
                     continue
+            # phase 2: ONE batched model call + decode for all paragraphs
+            all_spans = extract_entities_scored_batch(paras, confidence_threshold)
+            out: dict[str, list] = {name: [] for name in base_cols}
+            for name in passthrough:
+                out[name] = []
+            for para, (conv_id, turn_idx, para_idx, *extra_vals), spans in zip(
+                paras, meta, all_spans
+            ):
+                for start, end, label, score in spans:
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["para_idx"].append(para_idx)
+                    out["start"].append(start)
+                    out["end"].append(end)
+                    out["label"].append(label)
+                    out["surface"].append(para[start:end])
+                    out["score"].append(score)
+                    for name, val in zip(passthrough, extra_vals):
+                        out[name].append(val)
             yield pd.DataFrame(out)
 
-    pruned = transcripts.select("conv_id", "turn_idx", "text")
-    return pruned.mapInPandas(process_batches, MENTIONS_SCHEMA)
+    pruned = transcripts.select("conv_id", "turn_idx", "text", *passthrough)
+    return pruned.mapInPandas(process_batches, schema)
 
 
 def mentions_with_context(mentions: DataFrame, transcripts: DataFrame) -> DataFrame:
-    """Re-attach role/tool/ts context to mentions for triple lifting.
+    """Re-attach role/tool context to mentions for triple lifting.
 
-    Equi-join on (conv_id, turn_idx); both sides are bucketable on
-    conv_id so at scale this co-locates without a wide shuffle.
+    Prefer ``detect_mentions(..., passthrough=("role", "tool"))`` —
+    zero extra cost. This join path exists for mentions read back from
+    storage without context columns; it equi-joins on (conv_id,
+    turn_idx), which co-locates under conv_id bucketing.
     """
-    ctx = transcripts.select("conv_id", "turn_idx", "role", "tool", "ts")
+    if "role" in mentions.columns:
+        return mentions
+    ctx = transcripts.select("conv_id", "turn_idx", "role", "tool")
     return mentions.join(ctx, ["conv_id", "turn_idx"], "left")

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import edges_table, entities_table, resolve_entities
-from ..operators.mentions import detect_mentions, mentions_with_context
+from ..operators.mentions import detect_mentions
 from ..operators.triples import lift_triples
 
 
@@ -43,7 +43,7 @@ def extract_triples(transcripts: DataFrame, persist: bool = True) -> DataFrame:
     is therefore on by default — at table scale the checkpointed
     KGPipeline below materializes to storage instead.
     """
-    mentions = mentions_with_context(detect_mentions(transcripts), transcripts)
+    mentions = detect_mentions(transcripts, passthrough=("role", "tool"))
     if persist:
         mentions = mentions.persist()
     return lift_triples(mentions)
@@ -161,7 +161,7 @@ class KGPipeline:
         entities + edges tables."""
         mentions = self.run_stage(
             "mentions",
-            lambda: mentions_with_context(detect_mentions(transcripts), transcripts),
+            lambda: detect_mentions(transcripts, passthrough=("role", "tool")),
             inputs=[transcripts_path],
         )
         triples = self.run_stage(

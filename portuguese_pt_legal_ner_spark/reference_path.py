@@ -55,6 +55,60 @@ def extract_entities_scored(
         return []
 
 
+def extract_entities_scored_batch(
+    texts: list[str], confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
+) -> list[list[tuple[int, int, str, float]]]:
+    """Batched variant: ONE softmax/argmax over the concatenated logits
+    of all texts (the real-model batching tactic, reference
+    src/data.py:275-281), then per-text grouping on slices. Output is
+    identical to extract_entities_scored per text — softmax is row-wise
+    and the grouping core (decode.decode_groups) is shared — but numpy
+    dispatch/allocation is amortized across the batch, which matters at
+    high core counts where allocator/bandwidth pressure breaks scaling."""
+    import numpy as np  # noqa: PLC0415
+
+    from .decode import decode_groups, softmax  # noqa: PLC0415
+
+    tokenized: list[list] = []
+    for text in texts:
+        try:
+            tokenized.append(tokenize_with_offsets(text))
+        except Exception:
+            tokenized.append([])
+    mats = [score_tokens(toks) if toks else None for toks in tokenized]
+    nonempty = [m for m in mats if m is not None and len(m)]
+    if nonempty:
+        stacked = np.concatenate(nonempty, axis=0)
+        probs = softmax(stacked.astype(np.float64))
+        all_ids = probs.argmax(axis=-1)
+        all_scores = probs[np.arange(len(all_ids)), all_ids]
+        ids_list = all_ids.tolist()
+        scores_list = all_scores.tolist()
+
+    results: list[list[tuple[int, int, str, float]]] = []
+    offset = 0
+    for text, toks, mat in zip(texts, tokenized, mats):
+        if mat is None or not len(mat):
+            results.append([])
+            continue
+        n = len(mat)
+        ids = ids_list[offset : offset + n]
+        scores = scores_list[offset : offset + n]
+        offset += n
+        try:
+            out = []
+            for span in decode_groups(toks, ids, scores):
+                if (
+                    span.score >= confidence_threshold
+                    and 0 <= span.start < span.end <= len(text)
+                ):
+                    out.append((span.start, span.end, span.entity_group, span.score))
+            results.append(out)
+        except Exception:
+            results.append([])
+    return results
+
+
 def extract_entities(
     text: str, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD
 ) -> list[list]:
