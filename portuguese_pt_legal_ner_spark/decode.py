@@ -39,9 +39,12 @@ class EntitySpan(NamedTuple):
 
 
 def softmax(logits: np.ndarray) -> np.ndarray:
+    # in-place temporaries: same operations in the same order as the
+    # naive form (bit-identical results), ~half the memory traffic
     shifted = logits - logits.max(axis=-1, keepdims=True)
-    exp = np.exp(shifted)
-    return exp / exp.sum(axis=-1, keepdims=True)
+    np.exp(shifted, out=shifted)
+    shifted /= shifted.sum(axis=-1, keepdims=True)
+    return shifted
 
 
 def decode_groups(

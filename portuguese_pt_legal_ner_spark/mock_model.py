@@ -79,8 +79,15 @@ _RE_DAY = re.compile(r"^\d{1,2}$")
 _RE_YEAR = re.compile(r"^\d{4}$")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
 def _logit_for_score(score: float) -> float:
-    """Logit so that softmax([L, 0*18]) gives probability ≈ `score`."""
+    """Logit so that softmax([L, 0*18]) gives probability ≈ `score`.
+
+    Memoized: rule scores come from a small fixed set, and math.log
+    per token dominated the scoring profile otherwise."""
     score = min(max(score, 1e-4), 1 - 1e-4)
     return math.log((NUM_LABELS - 1) * score / (1.0 - score))
 
@@ -177,4 +184,20 @@ def score_tokens(tokens: list[Token]) -> np.ndarray:
     logits = np.zeros((len(tokens), NUM_LABELS), dtype=np.float32)
     for row, (label, score) in enumerate(labeled):
         logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
+    return logits
+
+
+def score_token_batches(token_lists: list[list[Token]]) -> np.ndarray:
+    """One logits matrix for many token sequences, concatenated —
+    bit-identical to vstacking score_tokens outputs (same float32
+    logit values in the same rows) without the per-sequence
+    allocations. The batching tactic of the reference's datasets.map
+    (src/data.py:275-281) applied to the mock."""
+    total = sum(len(toks) for toks in token_lists)
+    logits = np.zeros((total, NUM_LABELS), dtype=np.float32)
+    row = 0
+    for toks in token_lists:
+        for label, score in classify_tokens(toks):
+            logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
+            row += 1
     return logits

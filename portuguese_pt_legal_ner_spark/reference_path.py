@@ -69,16 +69,17 @@ def extract_entities_scored_batch(
 
     from .decode import decode_groups, softmax  # noqa: PLC0415
 
+    from .mock_model import score_token_batches  # noqa: PLC0415
+
     tokenized: list[list] = []
     for text in texts:
         try:
             tokenized.append(tokenize_with_offsets(text))
         except Exception:
             tokenized.append([])
-    mats = [score_tokens(toks) if toks else None for toks in tokenized]
-    nonempty = [m for m in mats if m is not None and len(m)]
+    nonempty = [toks for toks in tokenized if toks]
     if nonempty:
-        stacked = np.concatenate(nonempty, axis=0)
+        stacked = score_token_batches(nonempty)
         probs = softmax(stacked.astype(np.float64))
         all_ids = probs.argmax(axis=-1)
         all_scores = probs[np.arange(len(all_ids)), all_ids]
@@ -87,11 +88,11 @@ def extract_entities_scored_batch(
 
     results: list[list[tuple[int, int, str, float]]] = []
     offset = 0
-    for text, toks, mat in zip(texts, tokenized, mats):
-        if mat is None or not len(mat):
+    for text, toks in zip(texts, tokenized):
+        if not toks:
             results.append([])
             continue
-        n = len(mat)
+        n = len(toks)
         ids = ids_list[offset : offset + n]
         scores = scores_list[offset : offset + n]
         offset += n
