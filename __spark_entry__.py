@@ -545,9 +545,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-op coverage: EXCEPT (distinct)."""
+    """Set-op coverage: EXCEPT (distinct) — customers with no order
+    since 2001-01-01 (date bound keeps the result non-empty)."""
     cust = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    ordered = _load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    ordered = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return cust.exceptAll(ordered.distinct()).distinct()
 
 
@@ -555,6 +560,82 @@ _CUST_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left semi join."""
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (NOT EXISTS): parts with no shipment since
+    2001-01-01 — the date bound keeps the result non-empty at every sf."""
+    part = _load(spark, sf_dir, "part")
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("l_partkey")
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+_PARTS_NEVER_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+def _q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed key (the SURVEY §2.7
+    skew tactic), oracle-checked against the plain GROUP BY — salting
+    must be semantically invisible."""
+    ev = _load(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum(_dec(F.col("value"))).alias("_v"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("_v"), 2).cast("double").alias("total_value"),
+        F.sum("_c").cast("long").alias("n_events"),
+    )
+
+
+_SALTED_EVENTS_SQL = """
+SELECT event_type,
+       CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
 """
 
 
@@ -657,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_segment_revenue": _q_q3_segment_revenue,
         "q5_nation_revenue": _q_q5_nation_revenue,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q4_order_priority": _q_q4_order_priority,
+        "parts_never_ordered": _q_parts_never_ordered,
+        "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -684,6 +768,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_segment_revenue": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "parts_never_ordered": _PARTS_NEVER_SQL,
+        "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _DOC_QUALITY_SQL,

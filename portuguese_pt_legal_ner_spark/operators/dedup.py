@@ -65,14 +65,19 @@ def _minhash_sig(shingles: Column) -> Column:
 
 
 def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
-    """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard."""
+    """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
+
+    Scale-critical shape: the band self-join carries ONLY (doc_id,
+    band_idx, band_hash) — shuffling the shingle arrays through the
+    join would cost O(docs × shingles) bytes; instead shingles are
+    re-attached afterwards for just the surviving candidate pairs
+    (orders of magnitude fewer rows than band rows)."""
     base = docs.select(
         "doc_id", word_ngrams(F.col("text"), ngram).alias("sh")
     ).withColumn("sig", _minhash_sig(F.col("sh")))
 
     bands = base.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -89,24 +94,28 @@ def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
 
     left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
     right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
-    pairs = (
+    pair_ids = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sh = base.select("doc_id", "sh")
+    pairs = pair_ids.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

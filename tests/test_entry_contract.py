@@ -60,6 +60,7 @@ def test_query_matches_oracle(spark, duck, name):
 
     assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
     assert len(spark_rows) == len(duck_rows)
+    assert spark_rows, f"{name}: empty result — a trivially-matching query proves nothing"
     a = _rows_to_set(spark_cols, spark_rows)
     b = _rows_to_set(duck_cols, duck_rows)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
