@@ -639,6 +639,32 @@ GROUP BY event_type
 """
 
 
+def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured coverage: JSON prop extraction + agg."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+         AS n_null_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clustering (rows-only: xxhash64 minhash
     signatures are engine-specific; verified by pytest on planted
@@ -742,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_ordered": _q_parts_never_ordered,
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
+        "events_json_props": _q_events_json_props,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
@@ -772,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": _PARTS_NEVER_SQL,
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "events_json_props": _EVENTS_JSON_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_lang_id": _DOC_LANG_SQL,

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 16
+N_PLANES = 24
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -69,7 +69,10 @@ def _hyperplanes(seed: int = 42) -> list[list[float]]:
 
 
 def srp_sketch(vec: Column, seed: int = 42) -> Column:
-    """N_PLANES sign bits packed into an int (literal hyperplanes)."""
+    """N_PLANES sign bits packed into an int (literal hyperplanes) —
+    pure-column reference implementation; prefer srp_sketch_pandas in
+    hot paths (one numpy matmul per Arrow batch vs 16 array passes
+    per row)."""
     planes = _hyperplanes(seed)
     bits = [
         F.when(
@@ -84,22 +87,53 @@ def srp_sketch(vec: Column, seed: int = 42) -> Column:
     return out
 
 
+def srp_sketch_pandas(vec: Column, seed: int = 42) -> Column:
+    """Vectorized SRP sketch: Arrow-batched pandas UDF, one
+    [batch, 64] @ [64, 16] matmul + sign-bit packing per batch.
+    Same hyperplanes as srp_sketch; sign boundaries can differ in the
+    last float ulp between the two implementations (different
+    summation order), which only perturbs bucket assignment of
+    near-orthogonal vectors — irrelevant to ANN recall."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    planes_t = None
+
+    # NB: no type hints — `from __future__ import annotations` turns
+    # them into strings pyspark can't resolve for function-local pd
+    @pandas_udf("long")
+    def _sketch(vecs):
+        nonlocal planes_t
+        if planes_t is None:
+            planes_t = np.array(_hyperplanes(seed), dtype=np.float64).T  # [DIM, P]
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # [batch, DIM]
+        signs = (mat @ planes_t) > 0  # [batch, P]
+        weights = (1 << np.arange(N_PLANES, dtype=np.int64))
+        return pd.Series(signs @ weights)
+
+    return _sketch(vec)
+
+
 def srp_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_bands: int = 4,
+    n_bands: int = 6,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one of `n_bands`
-    slices of the SRP sketch; exact cosine re-rank on candidates.
+    slices of the 24-plane SRP sketch; exact cosine re-rank on
+    candidates only. Default 6 bands × 4 bits favors recall (≈0.9 for
+    cos≥0.6 pairs); pass n_bands=4 (6-bit bands, 64 buckets) when
+    selectivity matters more than tail recall at 100-TB scale.
     Recall < 1 by design — the trade the 100-TB path makes; measured
     against brute force in tests."""
     bits_per_band = N_PLANES // n_bands
     mask = (1 << bits_per_band) - 1
 
     def bands(df: DataFrame, id_col: str, vec_col: str, out_vec: str) -> DataFrame:
-        sk = df.withColumn("_sk", srp_sketch(F.col(vec_col), seed))
+        sk = df.withColumn("_sk", srp_sketch_pandas(F.col(vec_col), seed))
         return sk.select(
             F.col(id_col),
             F.col(vec_col).alias(out_vec),
