@@ -187,6 +187,32 @@ def score_tokens(tokens: list[Token]) -> np.ndarray:
     return logits
 
 
+_FLOPS_WEIGHTS: np.ndarray | None = None
+
+
+def simulate_model_flops(n_tokens: int, factor: int) -> None:
+    """Deterministic stand-in for transformer forward-pass arithmetic.
+
+    The rule-based mock is ~1000× cheaper per token than a real
+    BERTimbau forward pass, which makes single-box scaling runs
+    overweight Spark's fixed overheads relative to a real deployment
+    (BENCH.md). With SPARK_GRAFT_MODEL_FLOPS=<factor> the detector
+    additionally runs `factor` rounds of a [n_tokens, 64]@[64, 256]
+    matmul chain per batch — realistic arithmetic intensity, zero
+    effect on outputs."""
+    global _FLOPS_WEIGHTS
+    if _FLOPS_WEIGHTS is None:
+        rng = np.random.default_rng(42)
+        _FLOPS_WEIGHTS = rng.standard_normal((64, 256)).astype(np.float32)
+    x = np.ones((max(n_tokens, 1), 64), dtype=np.float32)
+    w = _FLOPS_WEIGHTS
+    for _ in range(factor):
+        x = np.tanh(x @ w) @ w.T
+    # fold the result into a checksum so the work cannot be elided
+    if not np.isfinite(x.sum()):  # pragma: no cover
+        raise AssertionError("flops simulation diverged")
+
+
 def score_token_batches(token_lists: list[list[Token]]) -> np.ndarray:
     """One logits matrix for many token sequences, concatenated —
     bit-identical to vstacking score_tokens outputs (same float32

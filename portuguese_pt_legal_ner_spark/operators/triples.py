@@ -51,50 +51,54 @@ def lift_triples(mentions_ctx: DataFrame) -> DataFrame:
     """
     m = mentions_ctx.filter(~F.col("role").isin(*EXCLUDED_ROLES))  # R1
 
-    para_keys = ["conv_id", "turn_idx", "para_idx"]
-
-    # R2: earliest PER/ORG mention per paragraph is the subject.
-    w_para = Window.partitionBy(*para_keys).orderBy("start")
-    para_subj = (
-        m.filter(F.col("label").isin(*SUBJECT_LABELS))
-        .withColumn("_rn", F.row_number().over(w_para))
-        .filter(F.col("_rn") == 1)
-        .select(
-            *para_keys,
-            F.struct(
-                F.col("surface").alias("subj"),
-                F.col("label").alias("subj_label"),
-                F.col("turn_idx").alias("subj_turn_idx"),
-                F.col("para_idx").alias("subj_para_idx"),
-                F.col("start").alias("subj_start"),
-            ).alias("_subj"),
-        )
+    # Two window passes, zero joins (the earlier formulation used a
+    # distinct paragraph spine + two joins — ~5 exchanges; this is 2,
+    # both hash-partitioned on conv_id-prefixed keys):
+    #
+    # R2: broadcast the earliest PER/ORG mention to every row of its
+    # paragraph with a FULL-frame window (min over the whole paragraph
+    # of a (start, subj-struct) pair restricted to subject labels).
+    w_para_full = (
+        Window.partitionBy("conv_id", "turn_idx", "para_idx")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    subj_candidate = F.when(
+        F.col("label").isin(*SUBJECT_LABELS),
+        F.struct(
+            F.col("start").alias("subj_start"),  # min picks earliest
+            F.col("surface").alias("subj"),
+            F.col("label").alias("subj_label"),
+            F.col("turn_idx").alias("subj_turn_idx"),
+            F.col("para_idx").alias("subj_para_idx"),
+        ),
+    )
+    with_para_subj = m.withColumn(
+        "_para_subj", F.min(subj_candidate).over(w_para_full)
     )
 
     # R3: paragraphs without a subject inherit the latest earlier one
-    # in the same conversation (last non-null over a conv_id window).
-    paras = m.select(*para_keys).distinct()
+    # in the same conversation — running last(non-null) over rows
+    # ordered by (turn_idx, para_idx, start); rows of one paragraph
+    # share a _para_subj value, so the running last sees the current
+    # paragraph's own subject first when it exists.
     w_conv = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx", "para_idx")
+        .orderBy("turn_idx", "para_idx", "start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    eff_subj = (
-        paras.join(para_subj, para_keys, "left")
-        .withColumn("_eff", F.last("_subj", ignorenulls=True).over(w_conv))
-        .filter(F.col("_eff").isNotNull())
-        .select(*para_keys, "_eff")
-    )
+    with_eff = with_para_subj.withColumn(
+        "_eff", F.last("_para_subj", ignorenulls=True).over(w_conv)
+    ).filter(F.col("_eff").isNotNull())
 
     # R4: all other mentions in the paragraph are objects.
-    joined = m.join(eff_subj, para_keys)
     not_self = ~(
         (F.col("turn_idx") == F.col("_eff.subj_turn_idx"))
         & (F.col("para_idx") == F.col("_eff.subj_para_idx"))
         & (F.col("start") == F.col("_eff.subj_start"))
     )
     triples = (
-        joined.filter(not_self)
+        with_eff.filter(not_self)
         .select(
             F.col("_eff.subj").alias("subj"),
             F.col("_eff.subj_label").alias("subj_label"),

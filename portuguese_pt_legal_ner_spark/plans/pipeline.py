@@ -34,14 +34,16 @@ from ..operators.mentions import detect_mentions
 from ..operators.triples import lift_triples
 
 
-def extract_triples(transcripts: DataFrame, persist: bool = True) -> DataFrame:
+def extract_triples(transcripts: DataFrame, persist: bool = False) -> DataFrame:
     """In-memory composition: transcripts → mentions → triples.
 
-    ``lift_triples`` references the mentions plan three times (subject
-    extraction, paragraph spine, object join); without materialization
-    Spark re-executes the NER mapInPandas stage three times. Persist
-    is therefore on by default — at table scale the checkpointed
-    KGPipeline below materializes to storage instead.
+    Since the windows-only lift_triples rewrite the mentions plan is
+    consumed exactly once, so the whole pipeline is a single linear
+    job (scan → mapInPandas → two windows) — persisting the
+    intermediate would only add a 10M-row cache build. Pass
+    persist=True when the caller reuses the mentions side (e.g. also
+    running entity resolution); the checkpointed KGPipeline
+    materializes stages to storage instead.
     """
     mentions = detect_mentions(transcripts, passthrough=("role", "tool"))
     if persist:
