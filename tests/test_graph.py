@@ -97,6 +97,17 @@ def test_edges_plain_equals_salted(spark, kg):
     assert a, "no edges produced"
 
 
+def test_edges_shuffle_join_fallback_equals_broadcast(spark, kg):
+    """The size-guarded broadcast (BROADCAST_SURFACE_LIMIT) must be a
+    pure strategy choice: forcing the shuffle-join path yields the
+    identical edge set."""
+    bcast = edges_table(kg["triples"], kg["resolution"], broadcast_resolution=True)
+    shuffled = edges_table(kg["triples"], kg["resolution"], broadcast_resolution=False)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
 def test_edge_weights_match_triple_counts(spark, kg):
     edges = edges_table(kg["triples"], kg["resolution"])
     total_weight = edges.agg(F.sum("weight")).collect()[0][0]
