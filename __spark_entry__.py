@@ -760,14 +760,16 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on a bounded pair set (doc_id < 40 on the
-    left) — the dedup verifier, with a DuckDB oracle."""
+    """Exact n-gram Jaccard (doc_id < 40 on the left) via the
+    inverted-index form — equi-join on the shingle instead of a
+    BroadcastNestedLoop cross (zero-overlap pairs drop out, which the
+    jaccard > 0.1 filter makes semantically invisible)."""
     from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
-        ngram_jaccard_pairs,
+        ngram_jaccard_sparse,
     )
 
     docs = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 40), docs).filter(
+    return ngram_jaccard_sparse(docs.filter(F.col("doc_id") < 40), docs).filter(
         F.col("jaccard") > 0.1
     )
 

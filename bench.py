@@ -91,6 +91,9 @@ def main() -> None:
         "doc_fingerprint",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_minhash_md5_pairs",
+        "dedup_simhash",
+        "ngram_jaccard",
         "ann_threshold_count",
         "ann_srp_topk",
         "multimodal_features",

@@ -79,19 +79,29 @@ def _child(cores: int, path: str, reps: int) -> None:
         return n
 
     job()  # warm-up: JIT + python worker fork, untimed
-    best = float("inf")
+    times = []
     n = 0
     for _ in range(reps):
         t0 = time.perf_counter()
         n = job()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     spark.stop()
-    print(json.dumps({"sec": best, "n": n}))
+    times.sort()
+    median = times[len(times) // 2] if len(times) % 2 else (
+        times[len(times) // 2 - 1] + times[len(times) // 2]
+    ) / 2
+    print(json.dumps({"sec": median, "best": times[0], "all": times, "n": n}))
 
 
 def run_level(cores: int, path: str, flops: int = 0) -> tuple[float, int]:
     env = dict(os.environ)
     env["SPARK_GRAFT_MODEL_FLOPS"] = str(flops)
+    # one BLAS thread per task: python workers otherwise each spawn a
+    # full BLAS thread pool (32 threads x 32 workers), and the resulting
+    # oversubscription penalizes the wide run — a real cluster executor
+    # gets exactly its task cores
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        env[var] = "1"
     proc = subprocess.run(
         [sys.executable, __file__, "--child", str(cores), path, str(REPS)],
         capture_output=True,
@@ -121,14 +131,15 @@ def run_mode(label: str, n_convs: int, path: str, flops: int) -> dict:
         "triples_per_sec_local8": round(thr8, 1),
         "triples_per_sec_local32": round(thr32, 1),
         "target": ">=0.8",
-        "method": "CPU-affinity-pinned subprocess per level; best of "
-        f"{REPS} reps after warm-up; identical pre-materialized input",
+        "method": "CPU-affinity-pinned subprocess per level; MEDIAN of "
+        f"{REPS} reps after warm-up; identical pre-materialized input; "
+        "single-threaded BLAS in workers",
     }
     print(json.dumps(out))
     with open(Path(__file__).resolve().parent / "BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling run [{label}] (n_convs={n_convs}, triples={n8}, "
-            f"flops_factor={flops}, affinity-pinned, best of {REPS})\n\n"
+            f"flops_factor={flops}, affinity-pinned, median of {REPS})\n\n"
             f"| parallelism | sec | triples/sec |\n|---|---|---|\n"
             f"| local[8] (pinned to 8 cores) | {sec8:.2f} | {thr8:.1f} |\n"
             f"| local[32] (pinned to 32 cores) | {sec32:.2f} | {thr32:.1f} |\n\n"

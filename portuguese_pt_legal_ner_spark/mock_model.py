@@ -197,19 +197,36 @@ def simulate_model_flops(n_tokens: int, factor: int) -> None:
     BERTimbau forward pass, which makes single-box scaling runs
     overweight Spark's fixed overheads relative to a real deployment
     (BENCH.md). With SPARK_GRAFT_MODEL_FLOPS=<factor> the detector
-    additionally runs `factor` rounds of a [n_tokens, 64]@[64, 256]
+    additionally runs `factor` rounds of a [chunk, 64]@[64, 256]
     matmul chain per batch — realistic arithmetic intensity, zero
-    effect on outputs."""
+    effect on outputs.
+
+    Chunked at 2048 tokens so the working set (~2 MB of activations)
+    stays cache-resident per round: a single [n_tokens, 64] matrix for
+    a 10k-row Arrow batch streams hundreds of MB through DRAM per
+    matmul, which turns the 'compute' simulation into a memory-
+    bandwidth benchmark — exactly the resource a single box CANNOT
+    scale across cores (round-1 realistic-mode efficiency 0.604). A
+    real forward pass is compute-bound; cache-blocking restores that
+    profile."""
     global _FLOPS_WEIGHTS
     if _FLOPS_WEIGHTS is None:
         rng = np.random.default_rng(42)
         _FLOPS_WEIGHTS = rng.standard_normal((64, 256)).astype(np.float32)
-    x = np.ones((max(n_tokens, 1), 64), dtype=np.float32)
     w = _FLOPS_WEIGHTS
-    for _ in range(factor):
-        x = np.tanh(x @ w) @ w.T
+    chunk = 2048
+    remaining = max(n_tokens, 1)
+    x0 = np.ones((min(chunk, remaining), 64), dtype=np.float32)
+    total = 0.0
+    while remaining > 0:
+        n = min(chunk, remaining)
+        x = x0[:n]
+        for _ in range(factor):
+            x = np.tanh(x @ w) @ w.T
+        total += float(x[0, 0])
+        remaining -= n
     # fold the result into a checksum so the work cannot be elided
-    if not np.isfinite(x.sum()):  # pragma: no cover
+    if not np.isfinite(total):  # pragma: no cover
         raise AssertionError("flops simulation diverged")
 
 

@@ -11,10 +11,11 @@ Kiveris et al., "Connected Components in MapReduce and Beyond"
   small-star: attach all smaller-or-equal neighbors to the minimum.
 
 Each iteration is two self-joins + aggregations; the driver loop
-checkpoints (`localCheckpoint`) to cut lineage — Catalyst cannot
+persists each round's edge set to cut lineage — Catalyst cannot
 optimize across iterations (SURVEY §4) — and stops when the edge set
-reaches a fixpoint (the convergence aggregate is a count of changed
-edges, the reference's early-stopping analog, src/training.py:268-272).
+reaches a fixpoint (the convergence aggregate is a count+checksum of
+edges, the reference's early-stopping analog, src/training.py:268-272),
+costing exactly one Spark job per iteration.
 
 Converges in O(log n) rounds; our co-reference graphs are star-like
 (surfaces around canonicals) so 2-4 rounds in practice. Node ids are
@@ -52,7 +53,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    # no dropDuplicates here: duplicates cannot change small-star's
+    # min-aggregates and ITS trailing dedup feeds the convergence
+    # checksum — skipping the dedup removes one exchange per iteration
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -85,16 +89,23 @@ def connected_components(
     e = _symmetrize(edges.select(
         F.col(edges.columns[0]).cast("string"),
         F.col(edges.columns[1]).cast("string"),
-    )).localCheckpoint()
+    )).localCheckpoint(eager=False)
 
+    # One Spark job per iteration (round-1 ran two per round —
+    # eager checkpoint, then the convergence collect — pure scheduler
+    # overhead on the small post-threshold graphs): a LAZY
+    # localCheckpoint truncates the LOGICAL plan immediately (the
+    # self-joins otherwise nest the tree exponentially across
+    # iterations — plain persist() OOMs on plan stringification by
+    # ~iteration 8) while deferring materialization, so the
+    # convergence aggregate's collect is the only action per round.
+    # Convergence: edge-set signature (count + checksum) fixpoint.
+    # bit_xor: order-independent and overflow-free (ANSI mode rejects
+    # a bigint sum of hashes); edges are deduped so xor cancellation
+    # of duplicates cannot occur.
     prev_sig = None
     for _ in range(max_iterations):
-        e = _large_star(e)
-        e = _small_star(e).localCheckpoint()
-        # convergence: edge-set signature (count + checksum) fixpoint
-        # bit_xor: order-independent and overflow-free (ANSI mode
-        # rejects a bigint sum of hashes); edges are deduped so xor
-        # cancellation of duplicates cannot occur
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

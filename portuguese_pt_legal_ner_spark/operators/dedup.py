@@ -10,9 +10,10 @@ each pure-DataFrame (no Python UDFs) so they ride whole-stage codegen:
                  candidates are generated per band bucket, never all
                  pairs.
   simhash      — 64-bit simhash from token hashes; near-dup pairs =
-                 hamming distance ≤ k, blocked on 16-bit bands
-                 (a pair within hamming ≤ 3 of 64 bits must agree on
-                 at least one of 4 bands — pigeonhole).
+                 hamming distance ≤ k, blocked on n_bands bit-slices
+                 with the pigeonhole recall bound k ≤ n_bands-1
+                 ENFORCED (a pair within hamming ≤ n_bands-1 must
+                 agree on at least one band).
   n-gram Jaccard — direct verify for candidate pairs (the verifier
                  minhash calls; also exposed standalone).
   embedding cosine — near-dup pairs over `embeddings` via signed-
@@ -55,45 +56,71 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _sig_from_hashes(hashed: Column) -> Column:
-    """Minhash signature from a pre-hashed shingle array.
-
-    The N_HASHES functions are xxhash64 over the 8-byte base hash with
-    the function id as a second input — hashing a long is far cheaper
-    than re-hashing the shingle STRING N_HASHES times, and unlike an
-    xor family it does not preserve high-bit ordering (xor'd minima
-    correlate across functions, which floods the bands with false
-    candidates — measured 2.5x slower end-to-end).
-
-    The caller must materialize `hashed` as its own column — an inline
-    transform would be re-inlined into all N_HASHES branches."""
-
-    def _mh(i: int) -> Column:
-        # single-arg lambda: F.transform treats 2-arg callables as
-        # (element, index) — see linking.py
-        return F.array_min(
-            F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i)))
-        )
-
-    return F.array(*[_mh(i) for i in range(N_HASHES)])
-
-
-def _minhash_sig(shingles: Column) -> Column:
-    return _sig_from_hashes(F.transform(shingles, lambda x: F.xxhash64(x)))
-
-
 MAX_BAND_BUCKET = 5000  # docs per LSH band bucket before the cap trips
 
 
-def _minhash_bands(docs: DataFrame, ngram: int) -> tuple[DataFrame, DataFrame]:
-    """(base(doc_id, sh), bands(doc_id, band_idx, band_hash))."""
-    base = (
-        docs.select("doc_id", word_ngrams(F.col("text"), ngram).alias("sh"))
-        .withColumn("_hs", F.transform(F.col("sh"), lambda x: F.xxhash64(x)))
-        .withColumn("sig", _sig_from_hashes(F.col("_hs")))
-        .drop("_hs")
+def _ensure_parallelism(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions
+    than the cluster has slots. The shingling/hashing passes below are
+    CPU-bound per row; a small parquet file scans as ONE split, which
+    serializes the whole walk onto one core (measured: 3.9 s of an
+    11 s query at sf0.1). At scale the input is already wide and this
+    is a no-op; when it isn't, the shuffle being avoided is smaller
+    than the compute being serialized."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
+def gram_hash_spine(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, h) — one row per DISTINCT word n-gram per doc, with h
+    = xxhash64(gram). This is the single pass over the interpreted
+    shingling HOF; every downstream consumer (signature aggregate,
+    Jaccard-verify inverted index, doc sizes) reads this slim spine,
+    so the expensive text walk happens once, not once per plan branch
+    (round-1: 5 branches re-ran it — 7.5 s of a 13 s query)."""
+    docs = _ensure_parallelism(docs)
+    return docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("h"))
+
+
+def minhash_signature_table(
+    docs: DataFrame, ngram: int = 3, grams: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, m_0..m_{N_HASHES-1}) minhash signatures.
+
+    Shape matters more than math here: the naive formulation (N_HASHES
+    × array_min(transform(...)) over a shingle array) runs as
+    interpreted higher-order functions — Spark HOFs never enter
+    whole-stage codegen, and the whole expression re-evaluates on each
+    side of the band self-join (measured: 13 s for 5k docs at sf0.1).
+    Instead: explode shingles → ONE codegen hash-aggregate with
+    N_HASHES `min` columns. Partial (map-side) aggregation collapses
+    the exploded rows to one row per doc BEFORE the shuffle, so the
+    exchange carries docs × 33 longs regardless of shingle count —
+    the shape that survives 100 TB.
+
+    Hash family (unchanged from round 1): min over shingles g of
+    xxhash64(xxhash64(g), i) — hashing the 8-byte base hash is far
+    cheaper than re-hashing the shingle STRING N_HASHES times, and
+    unlike an xor family it does not preserve high-bit ordering
+    (xor'd minima correlate across functions, flooding bands with
+    false candidates — measured 2.5x slower end-to-end)."""
+    g = grams if grams is not None else gram_hash_spine(docs, ngram)
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m_{i}")
+            for i in range(N_HASHES)
+        ],
     )
-    bands = base.select(
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """sig(m_0..m_{N-1}) → (doc_id, band_idx, band_hash)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -102,7 +129,7 @@ def _minhash_bands(docs: DataFrame, ngram: int) -> tuple[DataFrame, DataFrame]:
                         F.lit(b).alias("band_idx"),
                         F.xxhash64(
                             *[
-                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                F.col(f"m_{b * ROWS_PER_BAND + r}")
                                 for r in range(ROWS_PER_BAND)
                             ]
                         ).alias("band_hash"),
@@ -112,7 +139,6 @@ def _minhash_bands(docs: DataFrame, ngram: int) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    return base, bands
 
 
 def _cap_buckets(
@@ -140,7 +166,7 @@ def oversized_band_buckets(
     """Audit view of the buckets the cap drops — (band_idx, band_hash,
     n_docs). Lets a pipeline log dropped volume instead of silently
     truncating (no-silent-caps rule)."""
-    _, bands = _minhash_bands(docs, ngram)
+    bands = _bands_from_sig(minhash_signature_table(docs, ngram))
     return (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -153,15 +179,27 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
 
-    Scale-critical shape: the band self-join carries ONLY (doc_id,
-    band_idx, band_hash) — shuffling the shingle arrays through the
-    join would cost O(docs × shingles) bytes; instead shingles are
-    re-attached afterwards for just the surviving candidate pairs
-    (orders of magnitude fewer rows than band rows). Band buckets
-    larger than `max_bucket_size` docs are dropped (_cap_buckets) so
-    one boilerplate flood can't go quadratic; audit the dropped set
-    with oversized_band_buckets()."""
-    base, bands = _minhash_bands(docs, ngram)
+    Scale-critical shapes:
+      * the band self-join carries ONLY (doc_id, band_idx, band_hash) —
+        never shingle payloads;
+      * the gram-hash spine is computed once and persisted (slim: two
+        longs per shingle); the signature aggregate, the bucket-size
+        cap, and the Jaccard verify all read it;
+      * exact Jaccard for the surviving pairs runs as an inverted-index
+        equi-join on the gram hash (codegen) instead of interpreted
+        array_intersect over re-attached shingle arrays:
+        |A∩B| = matching-hash count, |A∪B| = n_sh_a + n_sh_b − |A∩B|;
+      * band buckets above `max_bucket_size` docs are dropped
+        (_cap_buckets) so one boilerplate flood can't go quadratic;
+        audit the dropped volume with oversized_band_buckets().
+
+    A candidate pair with zero shared grams (a 4-minhash fluke) drops
+    out instead of reporting jaccard 0.0 — callers filter on a
+    threshold anyway. Gram identity is the 64-bit hash, not the string
+    (collision odds negligible next to minhash noise)."""
+    grams = gram_hash_spine(docs, ngram).persist()
+    sig = minhash_signature_table(docs, ngram, grams=grams).persist()
+    bands = _bands_from_sig(sig)
     if max_bucket_size:
         bands = _cap_buckets(bands, ["band_idx", "band_hash"], max_bucket_size)
 
@@ -178,20 +216,33 @@ def minhash_candidate_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    sh = base.select("doc_id", "sh")
-    pairs = pair_ids.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-        "doc_a",
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        "doc_b",
+    inter = (
+        pair_ids.join(
+            grams.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a"
+        )
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    sizes = sig.select("doc_id", "n_sh")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -240,23 +291,21 @@ def minhash_md5_signature(
     md5-minima over word n-gram shingles (hash_i(g) = md5("i:" || g),
     min is lexicographic on the hex string).
 
-    xxhash64 (the production signature, _sig_from_hashes) is Spark-
-    specific; md5 is bit-identical in DuckDB, so THIS variant carries
-    the SQL oracle for the minhash machinery (round-1 verdict item 8).
+    xxhash64 (the production signature) is Spark-specific; md5 is
+    bit-identical in DuckDB, so THIS variant carries the SQL oracle for
+    the minhash machinery (round-1 verdict item 8). Same codegen
+    explode→aggregate shape as minhash_signature_table.
     Columns: doc_id, mh_0..mh_{n-1}."""
-    sh = docs.select("doc_id", word_ngrams(F.col("text"), ngram).alias("sh"))
-
-    def _mh(i: int) -> Column:
-        # single-arg closure: a 2-arg lambda would get (element, index)
-        return F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda g: F.md5(F.concat_ws(":", F.lit(str(i)), g)),
+    g = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    )
+    return g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g")))).alias(
+                f"mh_{i}"
             )
-        )
-
-    return sh.select(
-        "doc_id", *[_mh(i).alias(f"mh_{i}") for i in range(n_hashes)]
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -265,9 +314,10 @@ def minhash_md5_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs from the md5 signature — same banded-join
     shape as minhash_candidate_pairs, but every hash is engine-neutral
-    so the whole blocking path is SQL-oracle-checkable."""
+    so the whole blocking path is SQL-oracle-checkable. The signature
+    is persisted: the band self-join references it twice."""
     rpb = n_hashes // n_bands
-    sig = minhash_md5_signature(docs, n_hashes, ngram)
+    sig = minhash_md5_signature(docs, n_hashes, ngram).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -336,6 +386,42 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim) — same 64-bit simhash as simhash_col, in the
+    codegen-aggregate shape: explode tokens → one hash-aggregate with
+    64 bit-count sums (map-side combined before the shuffle), then
+    assemble the word from the majority rule. simhash_col's nested
+    higher-order functions run interpreted and re-evaluate per plan
+    reference (measured 33 s vs <2 s for 5k docs at sf0.1); keep
+    simhash_col for single-column use, this for table-scale jobs.
+
+    Equivalence: simhash_col sets bit i iff Σ±1 over tokens > 0, i.e.
+    iff 2·(#tokens with bit i set) > n_tokens — asserted identical in
+    test_dedup."""
+    from functools import reduce  # noqa: PLC0415
+
+    tok = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c_{i}")
+            for i in range(64)
+        ],
+    )
+    terms = [
+        F.when(
+            F.col(f"c_{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    return counts.select(
+        "doc_id", reduce(lambda a, b: a.bitwiseOR(b), terms).alias("sim")
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
@@ -358,7 +444,9 @@ def simhash_neardup_pairs(
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sh = docs.select("doc_id", simhash_col(F.col("text")).alias("sim"))
+    # persisted: the cap's bucket-size aggregate and both sides of the
+    # band self-join re-reference this plan (slim: 2 longs per doc)
+    sh = simhash_table(docs).persist()
     bands = sh.select(
         "doc_id",
         "sim",
@@ -396,11 +484,57 @@ def simhash_neardup_pairs(
     )
 
 
+def ngram_jaccard_sparse(
+    docs_a: DataFrame, docs_b: DataFrame, ngram: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted index — the shape that
+    scales: explode shingles, equi-join on the shingle, count shared
+    grams per (doc_a, doc_b), then jaccard = inter / (|A|+|B|-inter).
+
+    Omits zero-overlap pairs (they never meet in the index), so use it
+    when a jaccard>t filter follows anyway. Unlike the dense verifier
+    below this is an equi-join (no BroadcastNestedLoop) and every
+    aggregate is codegen — O(total postings) not O(|A|·|B|). Both
+    posting lists are persisted: each feeds the intersection join AND
+    its doc-size aggregate."""
+    ga = docs_a.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
+    ).persist()
+    gb = _ensure_parallelism(docs_b).select(
+        F.col("doc_id").alias("doc_b"),
+        F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
+    ).persist()
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    size_a = ga.groupBy("doc_a").agg(F.count(F.lit(1)).alias("_na"))
+    size_b = gb.groupBy("doc_b").agg(F.count(F.lit(1)).alias("_nb"))
+    return (
+        inter.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs_a: DataFrame, docs_b: DataFrame, ngram: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard for all (a, b) cross pairs — the direct
-    verifier; use only on pre-blocked/bounded inputs."""
+    verifier; use only on pre-blocked/bounded inputs (the cross shape
+    is quadratic by construction; ngram_jaccard_sparse is the
+    index-join form for unblocked inputs)."""
     a = docs_a.select(
         F.col("doc_id").alias("doc_a"), word_ngrams(F.col("text"), ngram).alias("sh_a")
     )

@@ -90,6 +90,103 @@ def confusion_matrix(gold: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+TOKEN_KEYS = ["conv_id", "turn_idx", "para_idx", "token_idx"]
+
+
+def bio_tags(mentions: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Token table + mention spans → per-token BIO tags.
+
+    `tokens`: (conv_id, turn_idx, para_idx, token_idx, start, end) —
+    the tokenizer's offsets table. A token is tagged B-<label> when it
+    begins a mention span (token.start == span.start), I-<label> when
+    it lies inside one, else 'O' — the flattened label-sequence shape
+    the reference feeds sklearn (ref src/training.py:195-207). Range
+    predicate is a join within the same paragraph keys, so it stays an
+    equi-join on the paragraph with a post-filter — no cross product.
+    """
+    span = mentions.select(
+        "conv_id", "turn_idx", "para_idx",
+        F.col("start").alias("m_start"),
+        F.col("end").alias("m_end"),
+        "label",
+    )
+    tagged = (
+        tokens.join(span, ["conv_id", "turn_idx", "para_idx"], "left")
+        .filter(
+            F.col("m_start").isNull()
+            | ((F.col("start") >= F.col("m_start")) & (F.col("end") <= F.col("m_end")))
+        )
+        .withColumn(
+            "tag",
+            F.when(F.col("m_start").isNull(), F.lit("O"))
+            .when(F.col("start") == F.col("m_start"), F.concat(F.lit("B-"), "label"))
+            .otherwise(F.concat(F.lit("I-"), "label")),
+        )
+    )
+    # a token outside every span loses all its join partners to the
+    # filter only when spans existed for the paragraph — recover those
+    # as 'O' by re-joining the full token spine
+    spine = tokens.select(*TOKEN_KEYS)
+    got = tagged.groupBy(*TOKEN_KEYS).agg(F.min("tag").alias("tag"))
+    return (
+        spine.join(got, TOKEN_KEYS, "left")
+        .select(*TOKEN_KEYS, F.coalesce("tag", F.lit("O")).alias("tag"))
+    )
+
+
+def token_confusion_matrix(gold_tags: DataFrame, pred_tags: DataFrame) -> DataFrame:
+    """(gold_tag, pred_tag, n) token-level confusion counts — the
+    faithful analog of the reference's sklearn confusion_matrix over
+    flattened BIO sequences (ref src/training.py:195-207): sequences
+    are position-aligned, so the flatten+zip is an equi-join on
+    (paragraph keys, token_idx) and the matrix is one GROUP BY."""
+    g = gold_tags.select(*TOKEN_KEYS, F.col("tag").alias("gold_tag"))
+    p = pred_tags.select(*TOKEN_KEYS, F.col("tag").alias("pred_tag"))
+    return (
+        g.join(p, TOKEN_KEYS, "full")
+        .select(
+            F.coalesce("gold_tag", F.lit("O")).alias("gold_tag"),
+            F.coalesce("pred_tag", F.lit("O")).alias("pred_tag"),
+        )
+        .groupBy("gold_tag", "pred_tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def save_confusion_artifact(cm: DataFrame, out_path: str) -> str:
+    """Confusion-matrix artifact writer (K4 analog of the reference's
+    PNG heatmap, ref src/tracking.py:230-272). matplotlib is absent in
+    this container, so the artifact is a CSV grid (+ PNG when a
+    matplotlib import succeeds — same seam, richer artifact)."""
+    rows = cm.collect()
+    labels = sorted({r["gold_tag"] for r in rows} | {r["pred_tag"] for r in rows})
+    grid = {(r["gold_tag"], r["pred_tag"]): r["n"] for r in rows}
+    lines = ["gold\\pred," + ",".join(labels)]
+    for g in labels:
+        lines.append(
+            g + "," + ",".join(str(grid.get((g, p), 0)) for p in labels)
+        )
+    csv_path = out_path if out_path.endswith(".csv") else out_path + ".csv"
+    with open(csv_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:  # pragma: no cover - matplotlib not installed in sandbox
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+
+        mat = [[grid.get((g, p), 0) for p in labels] for g in labels]
+        fig, ax = plt.subplots()
+        ax.imshow(mat)
+        ax.set_xticks(range(len(labels)), labels, rotation=90)
+        ax.set_yticks(range(len(labels)), labels)
+        fig.savefig(csv_path.replace(".csv", ".png"), bbox_inches="tight")
+        plt.close(fig)
+    except ImportError:
+        pass
+    return csv_path
+
+
 def triple_pr(gold: DataFrame, pred: DataFrame) -> tuple[float, float]:
     """Triple-level micro P/R on full-row equality (the north_rule's
     'matching the reference's emitted triples' measure)."""

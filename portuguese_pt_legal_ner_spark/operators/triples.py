@@ -51,9 +51,19 @@ def lift_triples(mentions_ctx: DataFrame) -> DataFrame:
     """
     m = mentions_ctx.filter(~F.col("role").isin(*EXCLUDED_ROLES))  # R1
 
+    # ONE exchange + ONE sort for both windows: the two windows
+    # partition on (conv, turn, para) and (conv) — planned naively
+    # that's two incompatible hash exchanges with two full sorts.
+    # Repartitioning on conv_id first gives a distribution that
+    # satisfies BOTH windows' ClusteredDistribution (hash(conv) ⊆
+    # each partition spec), and the paragraph window's sort order
+    # (conv, turn, para, start) is exactly the conversation window's
+    # required order, so Catalyst plans a single Exchange and a single
+    # Sort for the whole lift (verified via explain in test_triples).
+    m = m.repartition("conv_id")
+
     # Two window passes, zero joins (the earlier formulation used a
-    # distinct paragraph spine + two joins — ~5 exchanges; this is 2,
-    # both hash-partitioned on conv_id-prefixed keys):
+    # distinct paragraph spine + two joins — ~5 exchanges):
     #
     # R2: broadcast the earliest PER/ORG mention to every row of its
     # paragraph with a FULL-frame window (min over the whole paragraph

@@ -67,6 +67,47 @@ def test_minhash_dedup_clusters(spark, docs):
     assert clusters[4] == 4
 
 
+def test_simhash_table_equals_simhash_col(spark, docs):
+    """The codegen-aggregate table must produce bit-identical simhashes
+    to the expression form (majority-rule equivalence)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import simhash_table
+
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()
+    }
+    table_form = {r["doc_id"]: r["sim"] for r in simhash_table(docs).collect()}
+    assert table_form == col_form
+
+
+def test_minhash_signature_table_matches_serial(spark, docs):
+    """Pin the hash family: min over distinct shingles g of
+    xxhash64(xxhash64(g), i), recomputed serially via Spark exprs on
+    one row at a time."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        minhash_signature_table,
+        word_ngrams,
+    )
+
+    sig = {r["doc_id"]: [r[f"m_{i}"] for i in range(32)]
+           for r in minhash_signature_table(docs).collect()}
+    # serial recompute using interpreted HOF exprs (the round-1 form)
+    ref = docs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    word_ngrams(F.col("text")),
+                    (lambda j: lambda g: F.xxhash64(F.xxhash64(g), F.lit(j)))(i),
+                )
+            ).alias(f"m_{i}")
+            for i in range(32)
+        ],
+    ).collect()
+    ref_sig = {r["doc_id"]: [r[f"m_{i}"] for i in range(32)] for r in ref}
+    assert sig == ref_sig
+
+
 def test_simhash_identical_and_near(spark, docs):
     sh = {
         r["doc_id"]: r["s"]
@@ -148,3 +189,20 @@ def test_ngram_jaccard_verifier(spark, docs):
     assert pairs[(0, 1)] == 1.0
     assert pairs[(0, 3)] == 0.0
     assert 0.5 < pairs[(0, 2)] < 1.0
+
+
+def test_ngram_jaccard_sparse_equals_dense(spark, docs):
+    """The inverted-index form must equal the cross-pair verifier on
+    every pair with non-zero overlap (zero pairs drop out by design)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import ngram_jaccard_sparse
+
+    dense = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, docs).collect()
+        if r["jaccard"] > 0
+    }
+    sparse = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_sparse(docs, docs).collect()
+    }
+    assert sparse == dense

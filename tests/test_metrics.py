@@ -103,3 +103,58 @@ def test_empty_predictions(spark, gold):
     pred = _df(spark, [])
     p, r = span_pr(gold, pred)
     assert p == 0.0 and r == 0.0
+
+
+def test_bio_tags_and_token_confusion(spark):
+    """Token-level confusion analog of ref src/training.py:195-207:
+    paragraph 'João Silva mora em Lisboa' tokens at known offsets;
+    gold tags vs predictions with one B/I switch and one missed LOC."""
+    from portuguese_pt_legal_ner_spark.operators.metrics import (
+        bio_tags,
+        token_confusion_matrix,
+    )
+
+    tokens = spark.createDataFrame(
+        [
+            ("c1", 0, 0, 0, 0, 4),    # João
+            ("c1", 0, 0, 1, 5, 10),   # Silva
+            ("c1", 0, 0, 2, 11, 15),  # mora
+            ("c1", 0, 0, 3, 16, 18),  # em
+            ("c1", 0, 0, 4, 19, 25),  # Lisboa
+        ],
+        "conv_id string, turn_idx int, para_idx int, token_idx int, start int, end int",
+    )
+    gold_m = _df(spark, [("c1", 0, 0, 0, 10, "PER"), ("c1", 0, 0, 19, 25, "LOC")])
+    pred_m = _df(spark, [("c1", 0, 0, 0, 10, "PER")])  # LOC missed
+
+    gold_tags = bio_tags(gold_m, tokens)
+    got = {r["token_idx"]: r["tag"] for r in gold_tags.collect()}
+    assert got == {0: "B-PER", 1: "I-PER", 2: "O", 3: "O", 4: "B-LOC"}
+
+    cm = {
+        (r["gold_tag"], r["pred_tag"]): r["n"]
+        for r in token_confusion_matrix(gold_tags, bio_tags(pred_m, tokens)).collect()
+    }
+    assert cm == {
+        ("B-PER", "B-PER"): 1,
+        ("I-PER", "I-PER"): 1,
+        ("O", "O"): 2,
+        ("B-LOC", "O"): 1,
+    }
+
+
+def test_confusion_artifact_writer(spark, tmp_path):
+    from portuguese_pt_legal_ner_spark.operators.metrics import (
+        save_confusion_artifact,
+        token_confusion_matrix,
+    )
+
+    tags = spark.createDataFrame(
+        [("c1", 0, 0, 0, "B-PER"), ("c1", 0, 0, 1, "O")],
+        "conv_id string, turn_idx int, para_idx int, token_idx int, tag string",
+    )
+    path = save_confusion_artifact(token_confusion_matrix(tags, tags), str(tmp_path / "cm"))
+    text = open(path).read().splitlines()
+    assert text[0] == "gold\\pred,B-PER,O"
+    assert text[1] == "B-PER,1,0"
+    assert text[2] == "O,0,1"
