@@ -806,7 +806,8 @@ def _q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (label-cell) approximate top-k (rows-only; pytest-gated)."""
+    """IVF approximate top-k with the k-means coarse quantizer
+    (rows-only; recall + exactness-at-full-probe pytest-gated)."""
     from portuguese_pt_legal_ner_spark.operators.similarity import ivf_topk  # noqa: PLC0415
 
     emb = _load(spark, sf_dir, "embeddings")

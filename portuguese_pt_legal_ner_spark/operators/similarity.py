@@ -9,9 +9,12 @@ Three tiers:
     sign-bit sketches on H fixed pseudo-random hyperplanes, candidates
     share a bucket (multi-probe via B band slices), exact re-rank on
     candidates only;
-  * IVF-style — coarse quantizer = per-label centroid (k-means step
-    analog computed with posexplode + groupBy(pos) means), probe the
-    nprobe nearest centroids, exact search inside probed cells.
+  * IVF — coarse quantizer = distributed Lloyd k-means (kmeans_cells:
+    literal-centroid assignment, one aggregation job per iteration),
+    probe the nprobe nearest cells, exact search inside probed cells.
+    A per-label-centroid quantizer remains as quantizer='label' for
+    comparison (round-1: label cells degenerate to brute force when
+    labels are few).
 
 Hyperplanes derive from a seeded python RNG at plan-build time —
 literal arrays in the plan, deterministic across runs and executors.
@@ -191,25 +194,130 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _lit_vec(xs: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """argmax-cosine cell id over LITERAL centroids — a pure column
+    expression, so assignment costs zero shuffles and zero UDFs (the
+    centroid table is tiny and rides the plan like a broadcast).
+    array_max over (ccos, cell) structs evaluates each cosine exactly
+    once — a when-chain would double the expression tree per cell."""
+    scores = F.array(
+        *[
+            F.struct(
+                cosine(vec, _lit_vec(c)).alias("ccos"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(cents)
+        ]
+    ).cast("array<struct<ccos:double,cell:int>>")  # array() drops field names
+    return F.array_max(scores)["cell"]
+
+
+def kmeans_cells(
+    embeddings: DataFrame, n_cells: int = 16, iters: int = 5, seed: int = 42
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for the IVF coarse quantizer
+    (round-1 verdict: the per-label 'quantizer' was a placeholder —
+    with a handful of labels each cell was N/5 vectors, so probing
+    degenerated to brute force at scale).
+
+    Shape: centroids live on the driver (k × DIM floats — the same
+    scalar-sized driver state as CC's convergence signature) and enter
+    each iteration's plan as literals; assignment is a column
+    expression and the re-estimation is ONE map-side-combined
+    aggregation job per iteration (posexplode + groupBy(cell, pos) +
+    avg). No .collect() ever touches row-scale data. Deterministic
+    init: the n_cells vectors with the smallest xxhash64(vec_id, seed).
+    """
+    init = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(iters):
+        cell = _nearest_cell(F.col("embedding"), cents)
+        stats = (
+            embeddings.select(cell.alias("cell"),
+                              F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for ci, dims in by_cell.items():
+            new_cents[ci] = [dims[p] for p in range(len(cents[ci]))]
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    quantizer: str = "kmeans",
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF search: route each query to its `nprobe` nearest label
-    centroids, exact-search only those cells."""
-    cents = F.broadcast(label_centroids(embeddings))
-    qc = queries.join(cents).select(
-        "qid", "qe", "label", cosine(F.col("qe"), F.col("centroid")).alias("ccos")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
-    probed = (
-        qc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= nprobe)
-        .select("qid", "qe", "label")
-    )
-    cells = embeddings.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
-    )
-    cands = probed.join(cells, "label").filter(F.col("qid") != F.col("cid"))
+    """IVF search: route each query to its `nprobe` nearest coarse
+    cells, exact-search only those cells.
+
+    quantizer='kmeans' (default): Lloyd cells via kmeans_cells — the
+    scale path (cells shrink as n_cells grows; probe cost ≈
+    nprobe/n_cells of brute force). quantizer='label' keeps the
+    per-label-centroid variant for comparison/tests."""
+    if quantizer == "kmeans":
+        cents = kmeans_cells(embeddings, n_cells, iters, seed)
+        cell_of = _nearest_cell(F.col("embedding"), cents)
+        cells = embeddings.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            cell_of.alias("cell"),
+        )
+        probe_scores = F.array(
+            *[
+                F.struct(
+                    cosine(F.col("qe"), _lit_vec(c)).alias("ccos"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        ).cast("array<struct<ccos:double,cell:int>>")
+        probed = (
+            queries.select(
+                "qid", "qe",
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(probe_scores)), 1, nprobe)
+                ).alias("p"),
+            )
+            .select("qid", "qe", F.col("p.cell").alias("cell"))
+        )
+        cands = probed.join(cells, "cell").filter(F.col("qid") != F.col("cid"))
+    else:
+        cents_df = F.broadcast(label_centroids(embeddings))
+        qc = queries.join(cents_df).select(
+            "qid", "qe", "label",
+            cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+        probed = (
+            qc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= nprobe)
+            .select("qid", "qe", "label")
+        )
+        cells = embeddings.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+        )
+        cands = probed.join(cells, "label").filter(F.col("qid") != F.col("cid"))
     scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(

@@ -137,7 +137,7 @@ def test_srp_ann_recall(spark, emb, queries):
 
 
 def test_ivf_probes_cells(spark, emb, queries):
-    res = ivf_topk(emb, queries, k=5, nprobe=2).collect()
+    res = ivf_topk(emb, queries, k=5, nprobe=2, quantizer="label").collect()
     by_q = {}
     for r in res:
         by_q.setdefault(r["qid"], []).append(r)
@@ -145,6 +145,53 @@ def test_ivf_probes_cells(spark, emb, queries):
     for rows in by_q.values():
         assert len(rows) == 5
         assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_kmeans_cells_shape_and_determinism(spark, emb):
+    from portuguese_pt_legal_ner_spark.operators.similarity import kmeans_cells
+
+    a = kmeans_cells(emb, n_cells=8, iters=2, seed=7)
+    b = kmeans_cells(emb, n_cells=8, iters=2, seed=7)
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+    # deterministic across invocations in one session (literal-plan
+    # k-means; avg over the same partitioning)
+    assert a == b
+    # cells spread the data: every embedding maps to some cell, and
+    # more than one cell is populated
+    from pyspark.sql import functions as F2
+    from portuguese_pt_legal_ner_spark.operators.similarity import _nearest_cell
+
+    counts = (
+        emb.select(_nearest_cell(F2.col("embedding"), a).alias("cell"))
+        .groupBy("cell").count().collect()
+    )
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert len(counts) >= 2
+
+
+def test_ivf_kmeans_recall_beats_random(spark, emb, queries):
+    """kmeans IVF with generous probing recovers a solid share of the
+    exact top-10; full probing (nprobe=n_cells) must be exact."""
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["cid"])
+
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, n_cells=8, iters=2).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4
+
+    full = ivf_topk(emb, queries, k=10, nprobe=8, n_cells=8, iters=2).collect()
+    full_sets = {}
+    for r in full:
+        full_sets.setdefault(r["qid"], set()).add(r["cid"])
+    assert full_sets == exact_sets
 
 
 # ---------------------------------------------------------------------------
