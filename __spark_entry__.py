@@ -527,6 +527,28 @@ GROUP BY user_id
 """
 
 
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window counts — the EXACT plan the
+    streaming path runs (streaming/windowed.py::windowed_counts shared
+    between batch and readStream; withWatermark is a no-op on batch),
+    so the streaming aggregation semantics get a cross-engine check."""
+    from portuguese_pt_legal_ner_spark.streaming.windowed import (  # noqa: PLC0415
+        windowed_counts,
+    )
+
+    return windowed_counts(_load(spark, sf_dir, "events"), window="1 day")
+
+
+_EVENTS_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS win_end,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)."""
     li = _load(spark, sf_dir, "lineitem")
@@ -794,6 +816,44 @@ WHERE a.doc_id < 40
 """
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (dedup family #5),
+    left-bounded (vec_a < 1000) to keep the all-pairs verifier shape
+    non-quadratic at bench sf. Threshold 0.4254 is calibrated to the
+    synthetic embeddings (random vectors, max cos ≈ 0.51): it sits in
+    a measured 0.0055-wide gap of the cosine distribution at sf0.01 so
+    float-ulp engine differences cannot flip a pair across it; real
+    corpora use ~0.9."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_neardup_pairs,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 1000)
+    return embedding_neardup_pairs(left, emb, threshold=0.4254)
+
+
+_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 1000
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4254
+"""
+
+
+def _q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-blocked embedding near-dup clustering (rows-only: planted-
+    duplicate recall is pytest-gated; synthetic vectors are random so
+    the sf tables cluster trivially)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_neardup_clusters,
+    )
+
+    return embedding_neardup_clusters(
+        _load(spark, sf_dir, "embeddings"), threshold=0.4254
+    )
+
+
 def _q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k (rows-only; recall pytest-gated)."""
     from portuguese_pt_legal_ner_spark.operators.similarity import srp_ann_topk  # noqa: PLC0415
@@ -854,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_ordered": _q_parts_never_ordered,
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
+        "events_windowed": _q_events_windowed,
         "events_json_props": _q_events_json_props,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -866,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
@@ -887,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": _PARTS_NEVER_SQL,
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "events_windowed": _EVENTS_WINDOWED_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
@@ -898,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_md5": _DEDUP_MINHASH_MD5_SQL,
         "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
+        "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_threshold_count": _ANN_SQL,
         # dedup_minhash / dedup_simhash / ann_srp_topk / ann_ivf_topk /

@@ -484,6 +484,102 @@ def simhash_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    emb_a: DataFrame, emb_b: DataFrame | None = None, threshold: float = 0.9
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ t)
+    — the all-pairs verifier (quadratic by construction; bound the
+    `emb_a` side or use embedding_neardup_clusters' SRP blocking at
+    scale). Pure JVM expressions (zip_with/aggregate dot product),
+    DuckDB-oracle-checkable via list_cosine_similarity."""
+    from .similarity import cosine  # noqa: PLC0415
+
+    a = emb_a.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = (emb_b if emb_b is not None else emb_a).select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, cluster_id) embedding near-dup clusters — the scale
+    path: SRP-LSH banded blocking generates candidates (same sketch
+    machinery as the ANN tier), exact cosine verifies, connected
+    components merge (cluster_id = min vec_id). Recall follows the SRP
+    band bound, not exactness — pytest plants dup pairs and checks
+    they cluster while unrelated vectors stay singletons."""
+    from .similarity import N_PLANES, cosine, srp_sketch_pandas  # noqa: PLC0415
+
+    bits_per_band = N_PLANES // n_bands
+    mask = (1 << bits_per_band) - 1
+    sk = embeddings.select(
+        "vec_id", "embedding", srp_sketch_pandas(F.col("embedding"), seed).alias("_sk")
+    ).persist()
+    bands = sk.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftright(F.col("_sk"), bi * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "band_idx", "band_val",
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .select(
+            F.col("vec_a").cast("string"), F.col("vec_b").cast("string")
+        )
+        .localCheckpoint()
+    )
+    identity = embeddings.select(
+        "vec_id", F.col("vec_id").alias("cluster_id")
+    )
+    if pairs.isEmpty():
+        return identity
+    comps = connected_components(pairs)
+    all_vecs = embeddings.select(F.col("vec_id").cast("string").alias("node"))
+    return (
+        all_vecs.join(comps, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("vec_id"),
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
 def ngram_jaccard_sparse(
     docs_a: DataFrame, docs_b: DataFrame, ngram: int = 3
 ) -> DataFrame:

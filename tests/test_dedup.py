@@ -181,6 +181,45 @@ def test_band_bucket_cap_stops_flood(spark, docs):
     assert dropped and all(r["n_docs"] == 1000 for r in dropped)
 
 
+def test_embedding_neardup_pairs_and_clusters(spark):
+    """Dedup family #5 (embedding cosine): planted identical and
+    slightly-perturbed vectors must pair/cluster; random vectors must
+    stay singletons. Exact pairs and SRP-blocked clusters agree."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_neardup_clusters,
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base], 0),      # identical dup of 0
+        (2, [float(x) for x in near], 0),      # near dup of 0
+    ] + [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)], 1)
+        for i in range(3, 40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_neardup_clusters(emb, threshold=0.95).collect()
+    }
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    assert all(clusters[i] == i for i in range(3, 40))
+
+
 def test_ngram_jaccard_verifier(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

@@ -63,3 +63,75 @@ def test_foreach_batch_receives_microbatches(spark, tmp_path):
 
     stream_mentions_foreach_batch(spark, inp, ckp, batch_fn)
     assert seen and sum(n for _, n in seen) > 0
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics across two AvailableNow runs: run 1 emits
+    windows finalized by the watermark; run 2 drops an event older
+    than the persisted watermark and never re-emits closed windows."""
+    import datetime as dt
+
+    from portuguese_pt_legal_ner_spark.streaming.windowed import (
+        stream_windowed_counts,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+    SCHEMA = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=minute)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, 1, "click", t(0), 1.0),   # window [10:00, 10:10)
+            (2, 1, "click", t(5), 1.0),   # same window
+            (3, 2, "view", t(12), 1.0),   # window [10:10, 10:20)
+            (4, 2, "click", t(45), 1.0),  # advances watermark to 10:35
+        ],
+        SCHEMA,
+    )
+    batch1.write.mode("append").parquet(inp)
+    stream_windowed_counts(spark, inp, out, ckp)
+    got1 = {
+        (r["win_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows ending ≤ 10:35 watermark are finalized; the 10:40 window
+    # holding event 4 is still open
+    assert got1 == {(0, "click"): 2, (10, "view"): 1}
+
+    batch2 = spark.createDataFrame(
+        [
+            (5, 3, "click", t(2), 1.0),   # LATE: behind the 10:35 watermark → dropped
+            (6, 3, "view", t(50), 1.0),   # window [10:50, 11:00); advances watermark to 10:40
+        ],
+        SCHEMA,
+    )
+    batch2.write.mode("append").parquet(inp)
+    stream_windowed_counts(spark, inp, out, ckp)
+    got2 = {
+        (r["win_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the late click did NOT reopen the [10:00,10:10) window and no
+    # closed window was re-emitted
+    assert got2[(0, "click")] == 2
+    assert (2, "click") not in got2
+
+    batch3 = spark.createDataFrame(
+        [(7, 4, "view", t(65), 1.0)],  # watermark → 10:55, passes 10:50
+        SCHEMA,
+    )
+    batch3.write.mode("append").parquet(inp)
+    stream_windowed_counts(spark, inp, out, ckp)
+    got3 = {
+        (r["win_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the [10:40, 10:50) window (event 4) finalized exactly once the
+    # watermark passed its end; the late event never resurfaced
+    assert got3.get((40, "click")) == 1
+    assert got3[(0, "click")] == 2
