@@ -818,7 +818,7 @@ WHERE a.doc_id < 40
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (dedup family #5),
-    left-bounded (vec_a < 1000) to keep the all-pairs verifier shape
+    left-bounded (vec_a < 200) to keep the all-pairs verifier shape
     non-quadratic at bench sf. Threshold 0.4254 is calibrated to the
     synthetic embeddings (random vectors, max cos ≈ 0.51): it sits in
     a measured 0.0055-wide gap of the cosine distribution at sf0.01 so
@@ -829,14 +829,14 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load(spark, sf_dir, "embeddings")
-    left = emb.filter(F.col("vec_id") < 1000)
+    left = emb.filter(F.col("vec_id") < 200)
     return embedding_neardup_pairs(left, emb, threshold=0.4254)
 
 
 _DEDUP_EMBEDDING_SQL = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 1000
+WHERE a.vec_id < 200
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4254
 """
 

@@ -84,6 +84,7 @@ def main() -> None:
         "q6_forecast_revenue",
         "events_daily",
         "events_sessions",
+        "events_windowed",
         "rollup_revenue",
         "doc_token_stats",
         "doc_quality",
@@ -94,8 +95,10 @@ def main() -> None:
         "dedup_minhash_md5_pairs",
         "dedup_simhash",
         "ngram_jaccard",
+        "dedup_embedding",
         "ann_threshold_count",
         "ann_srp_topk",
+        "ann_ivf_topk",
         "multimodal_features",
     ]
 

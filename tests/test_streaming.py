@@ -135,3 +135,67 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     # watermark passed its end; the late event never resurfaced
     assert got3.get((40, "click")) == 1
     assert got3[(0, "click")] == 2
+
+
+def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions
+    close on gap within a batch, persist open state across runs, and
+    the event-time timeout flushes idle users' sessions."""
+    import datetime as dt
+
+    from portuguese_pt_legal_ner_spark.streaming.sessions import (
+        stream_user_sessions,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+    SCHEMA = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=minute)
+
+    # user 1: two events 5 min apart (one session), then a 60-min gap,
+    # then another event → first session closes on the gap.
+    # user 2: one event, then silence → closes only via timeout.
+    batch1 = spark.createDataFrame(
+        [
+            (1, 1, "click", t(0), 1.0),
+            (2, 1, "click", t(5), 1.0),
+            (3, 2, "view", t(0), 1.0),
+            (4, 1, "click", t(65), 1.0),
+        ],
+        SCHEMA,
+    )
+    batch1.write.mode("append").parquet(inp)
+    stream_user_sessions(spark, inp, out, ckp, gap_sec=1800)
+
+    def rows():
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    final = {
+        (1, t(0), t(5), 2),    # closed by the 60-min gap
+        (1, t(65), t(65), 1),  # flushed by event-time timeout
+        (2, t(0), t(0), 1),    # idle user, flushed by timeout
+    }
+    got1 = rows()
+    # the gap-closed session is guaranteed after run 1; timeout-closed
+    # ones may flush in run 1 or run 2 depending on microbatch split —
+    # either way nothing outside the expected final set ever appears
+    assert (1, t(0), t(5), 2) in got1
+    assert got1 <= final
+
+    # run 2: an event far in the future advances the watermark past
+    # every open session's timeout → everything flushes, exactly once
+    batch2 = spark.createDataFrame(
+        [(5, 3, "view", t(600), 1.0)],
+        SCHEMA,
+    )
+    batch2.write.mode("append").parquet(inp)
+    stream_user_sessions(spark, inp, out, ckp, gap_sec=1800)
+    got2 = {x for x in rows() if x[0] != 3}  # user 3's session still open
+    assert got2 == final
