@@ -849,8 +849,12 @@ def _q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_clusters,
     )
 
+    # n_bands=4 → 6-bit bands (64 buckets): the selectivity-leaning
+    # trade srp_ann_topk documents — near-dup thresholds keep high
+    # recall (identical vectors match every band) while candidate
+    # volume drops ~6x vs the recall-leaning 6x4-bit default
     return embedding_neardup_clusters(
-        _load(spark, sf_dir, "embeddings"), threshold=0.4254
+        _load(spark, sf_dir, "embeddings"), threshold=0.4254, n_bands=4
     )
 
 

@@ -43,6 +43,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized pairwise cosine: one batched numpy pass per
+    Arrow batch (row-wise dot + norms). The column-expression `cosine`
+    runs as interpreted HOFs (~10 µs/pair with per-pair array allocs);
+    this is the hot-path form for large verified-pair sets. Float
+    summation order differs from the HOF form in the last ulp — use
+    one form consistently within a query when comparing to thresholds."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        ma = np.array(va.tolist(), dtype=np.float64)
+        mb = np.array(vb.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def brute_force_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
