@@ -10,6 +10,10 @@ Cluster:
 Local smoke (this sandbox):
     python jobs/run_pipeline.py --synthetic 200 --workdir /tmp/kg_out
 
+YAML-driven (reference UX parity — ConfigManager.load_inference_config,
+ref src/config.py:254-281; see configs/inference_kg.yaml):
+    python jobs/run_pipeline.py --config configs/inference_kg.yaml
+
 Re-running with the same --workdir resumes: completed stages are
 skipped (KGPipeline checkpoints), making the job idempotent under
 retry/restart — the north_rule's resumability contract.
