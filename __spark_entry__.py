@@ -549,6 +549,58 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_events_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine check of the triple-lift's two window primitives on
+    DuckDB-visible data (the KG path itself runs on synthesized
+    transcripts no SQL oracle can see):
+
+      * R2 analog — full-frame ordered `first` (the per-paragraph
+        earliest-subject pick, triples.py w_para_full min-struct);
+      * R3 analog — running `last(..., ignorenulls=True)` (the
+        subject-inheritance window, triples.py w_conv).
+
+    Here: per user, the event_id of their cheapest event (full frame)
+    and the running last click value (nulls inherited past non-click
+    events)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = _load(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w_full).alias("cheapest_event_id"),
+        F.round(
+            F.last(click_val, ignorenulls=True).over(w_run), 4
+        ).alias("last_click_value"),
+    )
+
+
+_EVENTS_INHERITANCE_SQL = """
+SELECT event_id, user_id,
+       first_value(event_id) OVER (
+         PARTITION BY user_id ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS cheapest_event_id,
+       round(last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS last_click_value
+FROM events
+"""
+
+
 def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)."""
     li = _load(spark, sf_dir, "lineitem")
@@ -919,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
         "events_windowed": _q_events_windowed,
+        "events_inheritance": _q_events_inheritance,
         "events_json_props": _q_events_json_props,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -955,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,
+        "events_inheritance": _EVENTS_INHERITANCE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
