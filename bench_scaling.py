@@ -1,11 +1,27 @@
-"""Two-parallelism-level scaling evidence (BASELINE.md row 2).
+"""Multi-rung scaling evidence (BASELINE.md row 2).
 
 The north_rule's ≥0.8 throughput scaling efficiency between N and 4N
 executors cannot use a real cluster in this sandbox; the sanctioned
-evidence is the same job on the same input at two parallelism levels.
-This script runs the KG pipeline (parquet transcripts → vectorized
-NER mentions → triple lifting) at local[8] and local[32] and reports
-triples/sec at both plus efficiency = (thr_32 / thr_8) / 4.
+evidence is the same job on the same input at multiple parallelism
+levels. This script runs the KG pipeline (parquet transcripts →
+vectorized NER mentions → triple lifting) at pinned local[8],
+local[16] and local[32] and reports triples/sec at every rung plus
+pairwise efficiencies (8→16, 16→32, 8→32).
+
+Round-3 additions (round-2 verdict item 1 — corroborating evidence,
+not a bigger denominator):
+  * a MID-LADDER rung (local[16]): hardware contention (shared
+    turbo/caches/DRAM) is lower at 16 active cores than 32, so if the
+    ceiling attribution is true, raw efficiency at 8→16 must be
+    visibly higher than at 8→32 — a falsifiable prediction;
+  * one Spark EVENT LOG per leg (spark.eventLog), parsed into a
+    per-stage time decomposition (detector/mapInPandas stage vs
+    shuffle/window tail) committed to BENCH.md — so the attribution
+    "the python stage scales at ≈ the compute ceiling and the tail is
+    minor" is backed by stage-level numbers, not narrative;
+  * hardware-ceiling probes INTERLEAVED with the Spark legs (one probe
+    round per rep) instead of measured once afterwards on a drifting
+    box.
 
 Methodology notes (each guards against a way to cheat or mismeasure):
   * the input parquet is synthesized once and shared — identical input;
@@ -14,8 +30,8 @@ Methodology notes (each guards against a way to cheat or mismeasure):
     the JVM's scan/Arrow/GC threads free-ride on the other 24 cores,
     silently giving the "8-core" job more than 8 CPUs and deflating
     measured efficiency relative to a real 8-core executor allocation;
-  * per level: one warm-up pass (JIT + python-worker fork) then REPS
-    timed runs, best-of (the machine shows thermal/JIT drift);
+  * per rep, the rung ORDER alternates (the box heats up across
+    back-to-back runs); per level the reported figure is the MEDIAN;
   * outputs are asserted identical across levels (deterministic job).
 
 Results print as one JSON line and append to BENCH.md.
@@ -23,6 +39,7 @@ Results print as one JSON line and append to BENCH.md.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -35,6 +52,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "2400000"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 INPUT_FILES = 256
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,16,32").split(",")
+)
+EVENTLOG_ROOT = "/tmp/spark_graft_eventlogs"
 
 
 def materialize_input(n_convs: int) -> str:
@@ -52,12 +74,62 @@ def materialize_input(n_convs: int) -> str:
     return path
 
 
+def _parse_stage_decomposition(
+    log_dir: str, t0_ms: float, t1_ms: float
+) -> list[dict]:
+    """Per-stage decomposition of the TIMED window from the Spark event
+    log: wall seconds (completion − submission), summed executor run /
+    CPU seconds across tasks (internal.metrics accumulables), task
+    count. The stage with Python workers (scan → mapInPandas →
+    exchange write) is the detector stage; later stages are the
+    shuffle/window/count tail."""
+    stages: list[dict] = []
+    for fname in glob.glob(os.path.join(log_dir, "*")):
+        with open(fname) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerStageCompleted":
+                    continue
+                si = ev["Stage Info"]
+                sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                if sub is None or comp is None or sub < t0_ms or sub > t1_ms:
+                    continue
+                acc = {
+                    a["Name"]: a["Value"] for a in si.get("Accumulables", [])
+                }
+                stages.append(
+                    {
+                        "stage_id": si["Stage ID"],
+                        "name": si["Stage Name"],
+                        "wall_sec": round((comp - sub) / 1000, 2),
+                        "executor_run_sec": round(
+                            int(acc.get("internal.metrics.executorRunTime", 0))
+                            / 1000,
+                            2,
+                        ),
+                        "executor_cpu_sec": round(
+                            int(acc.get("internal.metrics.executorCpuTime", 0))
+                            / 1e9,
+                            2,
+                        ),
+                        "tasks": si["Number of Tasks"],
+                    }
+                )
+    stages.sort(key=lambda s: s["stage_id"])
+    return stages
+
+
 def _child(cores: int, path: str, reps: int) -> None:
     """Runs inside the pinned subprocess."""
     os.sched_setaffinity(0, set(range(cores)))
     from portuguese_pt_legal_ner_spark.plans.pipeline import extract_triples
     from portuguese_pt_legal_ner_spark.session import build_session
 
+    log_dir = os.path.join(EVENTLOG_ROOT, f"c{cores}_{os.getpid()}")
+    os.makedirs(log_dir, exist_ok=True)
     spark = build_session(
         app_name=f"kg-scaling-{cores}",
         master=f"local[{cores}]",
@@ -69,6 +141,9 @@ def _child(cores: int, path: str, reps: int) -> None:
             # with a multi-GB stage cache (measured: eff 0.78 → 0.53
             # when the corpus doubled past the 8g comfort zone)
             "spark.driver.memory": "64g",
+            # per-stage decomposition evidence (round-2 verdict item 1b)
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{log_dir}",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,19 +156,27 @@ def _child(cores: int, path: str, reps: int) -> None:
     job()  # warm-up: JIT + python worker fork, untimed
     times = []
     n = 0
+    t0_ms = time.time() * 1000
     for _ in range(reps):
         t0 = time.perf_counter()
         n = job()
         times.append(time.perf_counter() - t0)
+    t1_ms = time.time() * 1000
     spark.stop()
+    stages = _parse_stage_decomposition(log_dir, t0_ms, t1_ms)
     times.sort()
     median = times[len(times) // 2] if len(times) % 2 else (
         times[len(times) // 2 - 1] + times[len(times) // 2]
     ) / 2
-    print(json.dumps({"sec": median, "best": times[0], "all": times, "n": n}))
+    print(json.dumps(
+        {"sec": median, "best": times[0], "all": times, "n": n,
+         "stages": stages}
+    ))
 
 
-def run_level(cores: int, path: str, flops: int = 0, reps: int = 1) -> tuple[float, int]:
+def run_level(
+    cores: int, path: str, flops: int = 0, reps: int = 1
+) -> tuple[float, int, list[dict]]:
     env = dict(os.environ)
     env["SPARK_GRAFT_MODEL_FLOPS"] = str(flops)
     # one BLAS thread per task: python workers otherwise each spawn a
@@ -110,7 +193,7 @@ def run_level(cores: int, path: str, flops: int = 0, reps: int = 1) -> tuple[flo
         env=env,
     )
     result = json.loads(proc.stdout.strip().splitlines()[-1])
-    return result["sec"], result["n"]
+    return result["sec"], result["n"], result.get("stages", [])
 
 
 def _ceiling_child(cores: int, flops: int, kind: str = "compute") -> None:
@@ -165,46 +248,24 @@ def _ceiling_task(flops: int) -> int:
     return 1
 
 
-def measure_hardware_ceiling(flops: int, probes: int = 3) -> float:
-    """Per-core-throughput ratio 32-active-cores vs 8-active-cores for
-    the job's own compute kernels under plain multiprocessing (no
-    Spark). On this box extra active cores lower per-core speed (turbo
-    frequency + shared caches/DRAM): measured ~0.69-0.84 depending on
-    thermal state. A real N→4N EXECUTOR scale-up adds identical
-    silicon per executor, so the ceiling-normalized Spark efficiency
-    is the number that transfers to a cluster; both are reported.
-    Median of `probes` repetitions — the probe drifts like everything
-    else on this box."""
-    return _probe_ceiling("compute", flops, probes)
-
-
-def measure_bandwidth_ceiling(probes: int = 3) -> float:
-    """Per-core DRAM-streaming-throughput ratio 32 vs 8 active cores —
-    the hardware ceiling for the BYTE-bound parts of the job (Arrow
-    transfer, shuffle, sort). On one box all cores share the memory
-    controllers; a real N→4N executor scale-up multiplies aggregate
-    bandwidth by 4, so a byte-bound stage that sits AT this ceiling
-    locally is expected to scale on a cluster."""
-    return _probe_ceiling("bytes", 0, probes)
-
-
-def _probe_ceiling(kind: str, flops: int, probes: int) -> float:
-    ratios = []
-    for _ in range(probes):
-        times = {}
-        for cores in (8, 32):
-            env = dict(os.environ)
-            for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-                env[var] = "1"
-            proc = subprocess.run(
-                [sys.executable, __file__, "--ceiling-child", str(cores),
-                 str(flops), kind],
-                capture_output=True, text=True, check=True, env=env,
-            )
-            times[cores] = json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
-        # same work per core at both widths → ideal is equal wall-clock
-        ratios.append(times[8] / times[32])
-    return _median(ratios)
+def _probe_ceiling_once(kind: str, flops: int, lo: int, hi: int) -> float:
+    """ONE per-core-throughput ratio hi-active-cores vs lo-active-cores
+    for the given kernel under plain multiprocessing (no Spark). Same
+    work per core at both widths → ideal is equal wall-clock. Called
+    interleaved with the Spark legs so probe and job see the same
+    thermal state."""
+    times = {}
+    for cores in (lo, hi):
+        env = dict(os.environ)
+        for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+            env[var] = "1"
+        proc = subprocess.run(
+            [sys.executable, __file__, "--ceiling-child", str(cores),
+             str(flops), kind],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        times[cores] = json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
+    return times[lo] / times[hi]
 
 
 def _median(xs: list[float]) -> float:
@@ -213,85 +274,123 @@ def _median(xs: list[float]) -> float:
     return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
+def _pick_median_rep(secs: list[float], stages: list[list[dict]]) -> list[dict]:
+    """Stage decomposition of the rep closest to the median time."""
+    med = _median(secs)
+    idx = min(range(len(secs)), key=lambda i: abs(secs[i] - med))
+    return stages[idx]
+
+
 def run_mode(label: str, n_convs: int, path: str, flops: int) -> dict:
-    """REPS rep-pairs, ALTERNATING which level goes first: this box
-    heats up across back-to-back runs, so running all 8-core reps then
-    all 32-core reps (round-1 shape) systematically handicaps whichever
-    level runs later. Each rep is a fresh pinned subprocess (own warm-up
-    + one timed pass); the reported figure is the per-level median."""
-    secs: dict[int, list[float]] = {8: [], 32: []}
+    """REPS rep-rounds over all LEVELS, ALTERNATING rung order (this
+    box heats up across back-to-back runs, so a fixed order would
+    systematically handicap whichever level runs later). Each leg is a
+    fresh pinned subprocess (own warm-up + one timed pass). After each
+    rep-round, one hardware-ceiling probe ROUND runs for every
+    adjacent level pair — interleaved, so ceilings and Spark legs see
+    the same thermal state. Reported figures are per-level medians."""
+    secs: dict[int, list[float]] = {c: [] for c in LEVELS}
+    stage_reps: dict[int, list[list[dict]]] = {c: [] for c in LEVELS}
     ns: dict[int, int] = {}
+    pairs = [(LEVELS[i], LEVELS[j])
+             for i in range(len(LEVELS)) for j in range(i + 1, len(LEVELS))]
+    ceilings: dict[tuple[int, int], list[float]] = {p: [] for p in pairs}
+    bw_ceilings: list[float] = []
     for rep in range(REPS):
-        order = (8, 32) if rep % 2 == 0 else (32, 8)
+        order = LEVELS if rep % 2 == 0 else tuple(reversed(LEVELS))
         for cores in order:
-            sec, n = run_level(cores, path, flops, reps=1)
+            sec, n, stages = run_level(cores, path, flops, reps=1)
             secs[cores].append(sec)
+            stage_reps[cores].append(stages)
             ns[cores] = n
-    n8, n32 = ns[8], ns[32]
-    sec8, sec32 = _median(secs[8]), _median(secs[32])
-    assert n8 == n32, f"output differs across parallelism: {n8} vs {n32}"
-    thr8, thr32 = n8 / sec8, n32 / sec32
-    eff = (thr32 / thr8) / 4
-    compute_ceiling = measure_hardware_ceiling(flops)
-    bw_ceiling = measure_bandwidth_ceiling()
-    # Normalization policy: the flops mode is compute-bound, so its
-    # cluster-transferable efficiency is raw/compute_ceiling (clamped
-    # at 1 — a job cannot beat the machine; >1 means the probe
-    # under-read the ceiling). The flops-free light mode has a MIXED
-    # byte/compute profile whose true single-box limit lies between the
-    # DRAM-stream ceiling and the compute ceiling — and the stream
-    # probe itself drifts 0.2-0.5 run-to-run — so light reports raw
-    # plus both bounds instead of pretending to a precise denominator.
-    ceiling = compute_ceiling if flops else None
-    norm_eff = min(eff / ceiling, 1.0) if ceiling else None
+        # interleaved ceiling probes: one round per rep
+        for lo, hi in pairs:
+            ceilings[(lo, hi)].append(_probe_ceiling_once("compute", flops, lo, hi))
+        bw_ceilings.append(
+            _probe_ceiling_once("bytes", 0, LEVELS[0], LEVELS[-1])
+        )
+    counts = {ns[c] for c in LEVELS}
+    assert len(counts) == 1, f"output differs across parallelism: {ns}"
+    n_out = ns[LEVELS[0]]
+    med_sec = {c: _median(secs[c]) for c in LEVELS}
+    thr = {c: n_out / med_sec[c] for c in LEVELS}
+    eff = {
+        f"{lo}_to_{hi}": round((thr[hi] / thr[lo]) / (hi / lo), 3)
+        for lo, hi in pairs
+    }
+    ceil = {
+        f"{lo}_to_{hi}": round(_median(ceilings[(lo, hi)]), 3)
+        for lo, hi in pairs
+    }
+    norm = {
+        k: round(min(eff[k] / ceil[k], 1.0), 3) for k in eff
+    } if flops else None
+    bw_ceiling = round(_median(bw_ceilings), 3)
+    decomp = {c: _pick_median_rep(secs[c], stage_reps[c]) for c in LEVELS}
     out = {
-        "metric": f"kg_scaling_efficiency_8_to_32_{label}",
-        "value": round(eff, 3),
+        "metric": f"kg_scaling_efficiency_{label}",
+        "value": eff.get(f"{LEVELS[0]}_to_{LEVELS[-1]}"),
         "unit": "ratio",
-        "triples": n8,
+        "levels": list(LEVELS),
+        "triples": n_out,
         "conversations": n_convs,
         "model_flops_factor": flops,
-        "sec_local8": round(sec8, 2),
-        "sec_local32": round(sec32, 2),
-        "triples_per_sec_local8": round(thr8, 1),
-        "triples_per_sec_local32": round(thr32, 1),
-        "compute_ceiling_8_to_32": round(compute_ceiling, 3),
-        "bandwidth_ceiling_8_to_32": round(bw_ceiling, 3),
-        "spark_efficiency_vs_compute_ceiling": (
-            round(norm_eff, 3) if norm_eff is not None else None
-        ),
-        "all_secs_local8": [round(s, 2) for s in secs[8]],
-        "all_secs_local32": [round(s, 2) for s in secs[32]],
-        "target": ">=0.8 vs compute ceiling for the flops mode; the "
-        "light mode reports raw + both hardware bounds (single box "
-        "shares turbo/DRAM across cores; a 4N-executor cluster does not)",
-        "method": "CPU-affinity-pinned fresh subprocess per rep, "
-        f"{REPS} ALTERNATING rep-pairs (8/32 order flips each rep), "
-        "per-level MEDIAN, own warm-up per subprocess; identical "
-        "pre-materialized input; single-threaded BLAS in workers; "
-        "ceiling = same kernels via plain multiprocessing at both widths",
+        "sec": {str(c): round(med_sec[c], 2) for c in LEVELS},
+        "triples_per_sec": {str(c): round(thr[c], 1) for c in LEVELS},
+        "efficiency_raw": eff,
+        "compute_ceiling": ceil,
+        "bandwidth_ceiling_lo_to_hi": bw_ceiling,
+        "efficiency_vs_compute_ceiling": norm,
+        "all_secs": {str(c): [round(s, 2) for s in secs[c]] for c in LEVELS},
+        "stage_decomposition": {str(c): decomp[c] for c in LEVELS},
+        "target": ">=0.8 raw at the mid rung (8->16) and >=0.8 vs "
+        "compute ceiling at 8->32 for the flops mode; light mode "
+        "reports raw + both hardware bounds",
+        "method": "CPU-affinity-pinned fresh subprocess per leg, "
+        f"{REPS} ALTERNATING rep-rounds over {list(LEVELS)}, per-level "
+        "MEDIAN, own warm-up per subprocess; identical pre-materialized "
+        "input; single-threaded BLAS in workers; ceilings probed "
+        "INTERLEAVED (same kernels via plain multiprocessing); per-leg "
+        "Spark event logs parsed into the stage decomposition",
     }
     print(json.dumps(out))
+    _append_bench_md(label, n_convs, n_out, flops, med_sec, thr, eff, ceil,
+                     bw_ceiling, norm, decomp)
+    return out
+
+
+def _append_bench_md(label, n_convs, n_out, flops, med_sec, thr, eff, ceil,
+                     bw_ceiling, norm, decomp) -> None:
     with open(Path(__file__).resolve().parent / "BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run [{label}] (n_convs={n_convs}, triples={n8}, "
-            f"flops_factor={flops}, affinity-pinned, median of {REPS} "
-            f"alternating rep-pairs)\n\n"
+            f"\n## Scaling ladder [{label}] (n_convs={n_convs}, "
+            f"triples={n_out}, flops_factor={flops}, affinity-pinned, "
+            f"median of {REPS} alternating rep-rounds, interleaved "
+            f"ceiling probes)\n\n"
             f"| parallelism | sec | triples/sec |\n|---|---|---|\n"
-            f"| local[8] (pinned to 8 cores) | {sec8:.2f} | {thr8:.1f} |\n"
-            f"| local[32] (pinned to 32 cores) | {sec32:.2f} | {thr32:.1f} |\n\n"
-            f"Scaling efficiency (8→32 cores): **{eff:.3f}** raw; hardware "
-            f"ceilings (plain multiprocessing, no Spark) compute "
-            f"**{compute_ceiling:.3f}** / DRAM-stream **{bw_ceiling:.3f}**"
-            + (
-                f"; Spark efficiency vs compute ceiling: **{norm_eff:.3f}** "
-                f"(target ≥ 0.8)\n"
-                if norm_eff is not None
-                else " — mixed byte/compute profile, raw sits within the "
-                "measured hardware bounds (see narrative item 10)\n"
-            )
         )
-    return out
+        for c in LEVELS:
+            f.write(f"| local[{c}] (pinned to {c} cores) | "
+                    f"{med_sec[c]:.2f} | {thr[c]:.1f} |\n")
+        f.write("\n| rung pair | raw eff | compute ceiling | vs ceiling |\n"
+                "|---|---|---|---|\n")
+        for k in eff:
+            v = f"{norm[k]:.3f}" if norm else "—"
+            f.write(f"| {k.replace('_to_', '→')} | {eff[k]:.3f} | "
+                    f"{ceil[k]:.3f} | {v} |\n")
+        f.write(f"\nDRAM-stream ceiling ({LEVELS[0]}→{LEVELS[-1]}): "
+                f"**{bw_ceiling:.3f}**\n")
+        f.write("\nPer-stage decomposition (median rep, from the Spark "
+                "event log; executor_run = task time summed across "
+                "cores):\n\n")
+        f.write("| level | stage | tasks | wall s | executor-run s |\n"
+                "|---|---|---|---|---|\n")
+        for c in LEVELS:
+            for s in decomp[c]:
+                name = s["name"].split("\n")[0][:60]
+                f.write(f"| local[{c}] | {s['stage_id']}: {name} | "
+                        f"{s['tasks']} | {s['wall_sec']} | "
+                        f"{s['executor_run_sec']} |\n")
 
 
 def main() -> None:

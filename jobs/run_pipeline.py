@@ -36,7 +36,7 @@ def main() -> None:
                         "ConfigManager.load_inference_config, "
                         "ref src/config.py:254-281); CLI flags override it")
     parser.add_argument("--input", help="transcripts parquet path")
-    parser.add_argument("--synthetic", type=int, default=0,
+    parser.add_argument("--synthetic", type=int, default=None,
                         help="generate N synthetic conversations instead of --input")
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--run-id", default=None)
@@ -56,7 +56,11 @@ def main() -> None:
         exp_name = cfg.experiment_name
         confidence = cfg.inference.confidence_threshold
         args.input = args.input or (cfg.inference.input_file or None)
-        args.synthetic = args.synthetic or cfg.kg.synthetic_conversations
+        # explicit CLI flags beat config: an explicit --input suppresses
+        # config synthetic_conversations, and --synthetic 0 is a real
+        # override, not a fall-through (round-2 advice)
+        if args.synthetic is None and not args.input:
+            args.synthetic = cfg.kg.synthetic_conversations
         args.workdir = args.workdir or (cfg.kg.workdir or None)
         args.alias_dict = args.alias_dict or cfg.kg.alias_dict
         args.master = args.master or cfg.kg.master
@@ -80,12 +84,12 @@ def main() -> None:
     spark = build_session(app_name=exp_name, master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.synthetic:
-        transcripts = distributed_transcripts(spark, args.synthetic, seed=42)
-        input_desc = f"<synthetic n={args.synthetic} seed=42>"
-    elif args.input:
+    if args.input:
         transcripts = spark.read.parquet(args.input)
         input_desc = args.input
+    elif args.synthetic:
+        transcripts = distributed_transcripts(spark, args.synthetic, seed=42)
+        input_desc = f"<synthetic n={args.synthetic} seed=42>"
     else:
         parser.error("need --input or --synthetic")
 

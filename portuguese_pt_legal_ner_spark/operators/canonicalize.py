@@ -80,16 +80,70 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def union_find_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL edge set → (node, component)
+    DataFrame, component = min node id (same contract as
+    connected_components).
+
+    The bounded fast path: a thresholded near-dup pair set is usually
+    orders of magnitude smaller than the corpus (bench sf0.1: 256
+    pairs from 5k docs), and the distributed CC loop's per-iteration
+    stage scheduling + codegen compile (~2.3 s here) dwarfs the actual
+    work. Callers gate on a COUNTED edge bound (the pair set is
+    already materialized/checkpointed when this is called) and fall
+    back to the distributed algorithm beyond it — collect() here is
+    bounded by that gate, never by corpus size."""
+    sess = edges.sparkSession
+    parent: dict[str, str] = {}
+    nodes: set[str] = set()
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a0, b0 = str(row[0]), str(row[1])
+        nodes.add(a0)
+        nodes.add(b0)
+        a, b = find(a0), find(b0)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    return sess.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], "node string, component string"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
     id (lexicographic) in the component — matching the serial
-    union-find oracle (oracle_kg.connected_components)."""
-    e = _symmetrize(edges.select(
+    union-find oracle (oracle_kg.connected_components). Callers whose
+    contract is NUMERIC min (minhash_dedup, embedding_neardup_clusters)
+    zero-pad ids before calling (dedup._pad_id).
+
+    `checkpoint_dir`: when set, each iteration's edge set is RELIABLY
+    checkpointed there (HDFS/object store) so a cluster run survives
+    executor loss mid-iteration; the default lazy localCheckpoint cuts
+    the logical plan equally well but its blocks die with their
+    executor — fine on local[N], not durable at 1000 executors."""
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    e = _cut(_symmetrize(edges.select(
         F.col(edges.columns[0]).cast("string"),
         F.col(edges.columns[1]).cast("string"),
-    )).localCheckpoint(eager=False)
+    )))
 
     # One Spark job per iteration (round-1 ran two per round —
     # eager checkpoint, then the convergence collect — pure scheduler
@@ -105,7 +159,7 @@ def connected_components(
     # of duplicates cannot occur.
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _cut(_small_star(_large_star(e)))
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

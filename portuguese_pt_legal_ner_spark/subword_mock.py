@@ -1,0 +1,144 @@
+"""Fake multi-subword tokenizer + per-subword logits backend.
+
+The reference's production path is a HF fast tokenizer that splits
+words into subword pieces and a token-classification head that emits
+one logits row PER PIECE (pipeline built at src/inference.py:76-94);
+training labels only the first subword of each word (continuations
+masked -100, src/data.py:188-203), so at inference a well-trained head
+predicts B-X on the first piece and I-X on continuations inside an
+entity. ``aggregation_strategy="simple"`` then groups at piece level
+by char offsets.
+
+The word-level mock (mock_model.py) can't exercise that shape — every
+token is exactly one piece — so a real BERTimbau swap would hit the
+multi-subword decode path untested (round-2 verdict item 7). This
+module is a drop-in detector backend with REAL subword structure:
+
+  * ``subword_tokenize_with_offsets``: deterministic piece splitter —
+    word tokens longer than 3 chars split into ≤3-char contiguous
+    pieces with exact char offsets (the offset_mapping contract);
+  * ``extract_entities_scored_batch_subword``: same signature and
+    return contract as reference_path.extract_entities_scored_batch,
+    but the logits matrix has one row per PIECE, labeled by the
+    first-subword convention; softmax → argmax → decode_groups is the
+    IDENTICAL shared code downstream of the logits.
+
+Swapping a real checkpoint in is now a one-seam change: pass a
+different ``extractor`` to operators.mentions.detect_mentions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .decode import decode_groups, softmax
+from .labels import LABEL_TO_ID, NUM_LABELS
+from .mock_model import _logit_for_score, classify_tokens
+from .tokenization import MAX_SEQ_LENGTH, Token, tokenize_with_offsets
+
+_PIECE_LEN = 3
+
+
+def subword_tokenize_with_offsets(
+    text: str, max_length: int | None = None
+) -> list[Token]:
+    """Word tokens split into ≤3-char pieces with exact char offsets;
+    `max_length` truncates at the PIECE level, like a real subword
+    tokenizer's truncation=True (ref src/data.py:179-186)."""
+    pieces: list[Token] = []
+    for word in tokenize_with_offsets(text):
+        for off in range(0, len(word.text), _PIECE_LEN):
+            s = word.start + off
+            e = min(s + _PIECE_LEN, word.end)
+            pieces.append(Token(word.text[off : off + _PIECE_LEN], s, e))
+    return pieces[:max_length] if max_length else pieces
+
+
+def _pieces_with_labels(
+    text: str, max_length: int | None
+) -> tuple[list[Token], list[tuple[str, float]]]:
+    """(pieces, per-piece (label, score)) under the first-subword
+    convention: first piece carries the word's BIO label, continuation
+    pieces carry I-<type> inside an entity and O outside."""
+    words = tokenize_with_offsets(text)
+    word_labels = classify_tokens(words)
+    pieces: list[Token] = []
+    labels: list[tuple[str, float]] = []
+    for word, (label, score) in zip(words, word_labels):
+        etype = label.partition("-")[2]
+        for k, off in enumerate(range(0, len(word.text), _PIECE_LEN)):
+            s = word.start + off
+            e = min(s + _PIECE_LEN, word.end)
+            pieces.append(Token(word.text[off : off + _PIECE_LEN], s, e))
+            if k == 0:
+                labels.append((label, score))
+            elif etype:
+                labels.append((f"I-{etype}", score))
+            else:
+                labels.append(("O", score))
+    if max_length:
+        pieces, labels = pieces[:max_length], labels[:max_length]
+    return pieces, labels
+
+
+def score_piece_batches(
+    piece_label_lists: list[list[tuple[str, float]]],
+) -> np.ndarray:
+    """One concatenated logits matrix, one row per piece — the
+    batched-model interface (mock_model.score_token_batches shape)."""
+    total = sum(len(pl) for pl in piece_label_lists)
+    logits = np.zeros((total, NUM_LABELS), dtype=np.float32)
+    row = 0
+    for pl in piece_label_lists:
+        for label, score in pl:
+            logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
+            row += 1
+    return logits
+
+
+def extract_entities_scored_batch_subword(
+    texts: list[str], confidence_threshold: float = 0.5
+) -> list[list[tuple[int, int, str, float]]]:
+    """Drop-in for reference_path.extract_entities_scored_batch with a
+    multi-subword piece stream: tokenize to pieces, score one logits
+    row per piece, then the SAME softmax → argmax → decode_groups →
+    threshold → bounds pipeline. Spans must equal the word-level path
+    wherever the 512-piece truncation doesn't bite (pinned by
+    tests/test_subword_detector.py through the full Spark detector)."""
+    tokenized: list[tuple[list[Token], list[tuple[str, float]]]] = []
+    for text in texts:
+        try:
+            tokenized.append(_pieces_with_labels(text, MAX_SEQ_LENGTH))
+        except Exception:
+            tokenized.append(([], []))
+    nonempty = [pl for _, pl in tokenized if pl]
+    if nonempty:
+        stacked = score_piece_batches(nonempty)
+        probs = softmax(stacked.astype(np.float64))
+        all_ids = probs.argmax(axis=-1)
+        all_scores = probs[np.arange(len(all_ids)), all_ids]
+        ids_list = all_ids.tolist()
+        scores_list = all_scores.tolist()
+
+    results: list[list[tuple[int, int, str, float]]] = []
+    offset = 0
+    for text, (pieces, pl) in zip(texts, tokenized):
+        if not pieces:
+            results.append([])
+            continue
+        n = len(pieces)
+        ids = ids_list[offset : offset + n]
+        scores = scores_list[offset : offset + n]
+        offset += n
+        try:
+            out = []
+            for span in decode_groups(pieces, ids, scores):
+                if (
+                    span.score >= confidence_threshold
+                    and 0 <= span.start < span.end <= len(text)
+                ):
+                    out.append((span.start, span.end, span.entity_group, span.score))
+            results.append(out)
+        except Exception:
+            results.append([])
+    return results

@@ -64,3 +64,42 @@ def test_long_chain_converges(spark):
     got = _spark_cc(spark, edges)
     assert set(got.values()) == {"n00"}
     assert len(got) == 41
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_union_find_fast_path_matches_distributed(spark, seed):
+    """The bounded driver union-find (the small-pair-set fast path the
+    dedup clusterers gate into) must agree with distributed CC and the
+    serial oracle on the same graphs."""
+    from portuguese_pt_legal_ner_spark.operators.canonicalize import (
+        union_find_components,
+    )
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {
+        r["node"]: r["component"] for r in union_find_components(df).collect()
+    }
+    assert fast == oracle_cc(edges)
+    assert fast == _spark_cc(spark, edges)
+
+
+def test_distributed_cc_reliable_checkpoint(spark, tmp_path):
+    """connected_components with checkpoint_dir (the executor-loss-safe
+    cluster mode) writes reliable checkpoints and returns the same
+    components."""
+    import os
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert os.listdir(tmp_path / "cc_ckpt")

@@ -157,9 +157,12 @@ def test_simhash_bound_enforced(spark, docs):
 
 def test_band_bucket_cap_stops_flood(spark, docs):
     """SURVEY §4.5: a planted flood of identical docs must not go
-    quadratic in the band join — the cap drops the oversized buckets
-    (exact_dedup owns byte-identical floods) while normal near-dups in
-    the same corpus still cluster; the dropped volume is auditable."""
+    quadratic in the band join — oversized buckets are STAR-LINKED
+    (each member vs the bucket min, linear pairs through the normal
+    Jaccard verify) instead of self-joined, so the mega-cluster still
+    merges (round-2 advice: drop-only capping never linked it at all)
+    while normal near-dups in the same corpus cluster as before; the
+    oversized volume stays auditable."""
     from portuguese_pt_legal_ner_spark.operators.dedup import (
         oversized_band_buckets,
     )
@@ -174,11 +177,120 @@ def test_band_bucket_cap_stops_flood(spark, docs):
     }
     # the planted near-dups (small buckets) still cluster
     assert clusters[0] == clusters[1] == clusters[2] == 0
-    # flood docs fell out of the LSH path (every band bucket oversized)
-    assert clusters[100] == 100 and clusters[1099] == 1099
-    # and the drop is visible, not silent
+    # flood docs link through star pairs at linear cost: one cluster,
+    # numeric-min representative
+    assert all(clusters[i] == 100 for i in range(100, 1100))
+    # and the oversized volume is visible, not silent
     dropped = oversized_band_buckets(corpus, max_bucket_size=50).collect()
     assert dropped and all(r["n_docs"] == 1000 for r in dropped)
+
+
+def test_cluster_representative_is_numeric_min(spark):
+    """Round-2 verdict item 6: for a cluster {2, 9, 10} the
+    representative must be 2 — the lexicographic string min would be
+    "10". Ids are zero-padded entering CC so string order == numeric
+    order."""
+    rows = [(2, BASE), (9, BASE), (10, BASE), (33, FAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in minhash_dedup(docs, 0.7).collect()
+    }
+    assert clusters[2] == clusters[9] == clusters[10] == 2
+    assert clusters[33] == 33
+
+
+def test_embedding_cluster_representative_is_numeric_min(spark):
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_neardup_clusters,
+    )
+
+    rng = random.Random(3)
+    base = [float(rng.gauss(0, 1)) for _ in range(64)]
+    rows = [(2, base, 0), (9, base, 0), (10, base, 0)] + [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)], 1) for i in range(11, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_neardup_clusters(emb, threshold=0.95).collect()
+    }
+    assert clusters[2] == clusters[9] == clusters[10] == 2
+
+
+def test_embedding_srp_bucket_cap_star_links_flood(spark):
+    """Round-2 verdict item 2: a flood of identical embeddings lands in
+    ONE SRP bucket per band — the cap must stop the quadratic self-join
+    while star pairs (verified by exact cosine) still merge the flood
+    into one cluster."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_neardup_clusters,
+    )
+
+    rng = random.Random(11)
+    dup = [float(rng.gauss(0, 1)) for _ in range(64)]
+    rows = [(i, dup, 0) for i in range(100, 400)] + [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)], 1) for i in range(400, 430)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_neardup_clusters(
+            emb, threshold=0.95, max_bucket_size=20
+        ).collect()
+    }
+    assert all(clusters[i] == 100 for i in range(100, 400))
+    assert all(clusters[i] == i for i in range(400, 430))
+
+
+def test_simhash_md5_pairs_and_bounds(spark, docs):
+    """The engine-neutral md5-simhash: identical docs pair at hamming
+    0, unrelated docs don't surface at a tight hamming bound, and the
+    pigeonhole bound is enforced like the xxhash64 variant."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        simhash_md5_neardup_pairs,
+        simhash_md5_table,
+    )
+
+    sims = {r["doc_id"]: r["sim"] for r in simhash_md5_table(docs).collect()}
+    assert sims[0] == sims[1]
+    assert all(0 <= s < (1 << 32) for s in sims.values())
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_md5_neardup_pairs(docs, max_hamming=3, n_bands=4).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_md5_neardup_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_md5_band_divisibility_enforced(spark, docs):
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        minhash_md5_candidate_pairs,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_md5_candidate_pairs(docs, n_hashes=8, n_bands=3)
+
+
+def test_minhash_dedup_reliable_checkpoint(spark, docs, tmp_path):
+    """The checkpoint_dir knob must produce identical clusters through
+    the reliable-checkpoint path (executor-loss-safe on a cluster)."""
+    expected = {r["doc_id"]: r["cluster_id"] for r in minhash_dedup(docs, 0.7).collect()}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_dedup(
+            docs, 0.7, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == expected
+    import os
+
+    assert os.listdir(tmp_path / "ckpt")  # reliable checkpoints were written
 
 
 def test_embedding_neardup_pairs_and_clusters(spark):

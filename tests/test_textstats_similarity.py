@@ -194,6 +194,92 @@ def test_ivf_kmeans_recall_beats_random(spark, emb, queries):
     assert full_sets == exact_sets
 
 
+def test_ivf_index_build_once_probe_many(spark, emb, queries):
+    """Round-2 verdict item 3: the index is built once and probed
+    repeatedly — probes against the same index must equal the one-shot
+    ivf_topk path, and full probing stays exact."""
+    from portuguese_pt_legal_ner_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+    )
+
+    idx = ivf_index(emb, n_cells=8, iters=2, seed=42)
+    one_shot = sorted(
+        (r["qid"], r["cid"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, nprobe=4, n_cells=8, iters=2).collect()
+    )
+    probe_a = sorted(
+        (r["qid"], r["cid"], r["rank"])
+        for r in ivf_probe(idx, queries, k=5, nprobe=4).collect()
+    )
+    probe_b = sorted(
+        (r["qid"], r["cid"], r["rank"])
+        for r in ivf_probe(idx, queries, k=5, nprobe=4).collect()
+    )
+    assert probe_a == probe_b == one_shot
+    idx.unpersist()
+
+
+def test_ivf_index_save_load_roundtrip(spark, emb, queries, tmp_path):
+    from portuguese_pt_legal_ner_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+        load_ivf_index,
+    )
+
+    idx = ivf_index(emb, n_cells=8, iters=2, seed=42)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded.centroids == idx.centroids
+    a = sorted(
+        (r["qid"], r["cid"]) for r in ivf_probe(idx, queries, k=5, nprobe=4).collect()
+    )
+    b = sorted(
+        (r["qid"], r["cid"])
+        for r in ivf_probe(loaded, queries, k=5, nprobe=4).collect()
+    )
+    assert a == b
+    idx.unpersist()
+    loaded.unpersist()
+
+
+def test_srp_ann_bucket_cap_and_audit(spark, emb):
+    """Round-2 verdict items 1+2: a planted flood of identical vectors
+    fills one SRP bucket per band — the cap keeps the candidate join
+    from going quadratic (flood candidates drop from top-k, which for
+    SEARCH is a trimmed over-crowded list, not lost clusters) while
+    non-flood queries still resolve; the drop is auditable."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.similarity import (
+        srp_oversized_buckets,
+    )
+
+    rng = random.Random(5)
+    dup = [float(rng.gauss(0, 1)) for _ in range(64)]
+    flood = spark.createDataFrame(
+        [(10_000 + i, dup, 9) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(flood)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # cap 100 > the ~31±6-vector buckets the 500 random sf0.001 vectors
+    # produce (16 values per 4-bit band), < the ≥300-vector flood buckets
+    res = srp_ann_topk(corpus, q, k=5, max_bucket_size=100).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r["cid"])
+    assert set(by_q) == {0, 1, 2}
+    # flood members can only surface via small (non-flood) buckets —
+    # with identical vectors every flood bucket is oversized, so none
+    # should appear as candidates
+    assert all(cid < 10_000 for cids in by_q.values() for cid in cids)
+    audit = srp_oversized_buckets(corpus, max_bucket_size=100).collect()
+    assert audit and all(r["n_vecs"] >= 300 for r in audit)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
