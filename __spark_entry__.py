@@ -95,6 +95,24 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t)
 
 
+def _q_kg_triples_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.3 export schema: triples with provenance packed into
+    an `evidence` struct (serialized to JSON for the contract surface —
+    the driver's pandas canonicalizer cannot hash struct cells).
+    Rows-only; the struct↔flat losslessness is pytest-pinned."""
+    _prepare(spark)
+    from portuguese_pt_legal_ner_spark.operators.triples import (  # noqa: PLC0415
+        triples_with_evidence,
+    )
+    from portuguese_pt_legal_ner_spark.plans.pipeline import extract_triples  # noqa: PLC0415
+    from portuguese_pt_legal_ner_spark.sources.tables import synthetic_transcripts  # noqa: PLC0415
+
+    t = synthetic_transcripts(spark, n_conversations=200, seed=42)
+    return triples_with_evidence(extract_triples(t)).withColumn(
+        "evidence", F.to_json("evidence")
+    )
+
+
 def _kg_artifacts(spark: SparkSession):
     from portuguese_pt_legal_ner_spark.operators.graph import (  # noqa: PLC0415
         edges_table,
@@ -1057,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
+        "kg_triples_evidence": _q_kg_triples_evidence,
         "kg_entities": _q_kg_entities,
         "kg_edges": _q_kg_edges,
         "q1_pricing_summary": _q_q1_pricing_summary,

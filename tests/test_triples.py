@@ -141,3 +141,35 @@ def test_output_ordering_contract(spark):
     rows = _spark_triples(spark, turns)
     keys = [(t["conv_id"], t["turn_idx"], t["para_idx"], t["obj_start"]) for t in rows]
     assert keys == sorted(keys)
+
+
+def test_evidence_struct_export(spark):
+    """SURVEY §1.3 export schema: provenance packed into an `evidence`
+    struct, lossless vs the flat internal columns."""
+    from portuguese_pt_legal_ner_spark.operators.triples import (
+        triples_with_evidence,
+    )
+
+    turns = generate_transcripts(n_conversations=10, seed=3)
+    df = synthetic_transcripts(spark, n_conversations=10, seed=3, partitions=4)
+    mentions = mentions_with_context(detect_mentions(df), df)
+    flat = lift_triples(mentions)
+    packed = triples_with_evidence(flat)
+    assert [f.name for f in packed.schema.fields] == [
+        "subj", "subj_label", "pred", "obj", "obj_label",
+        "conv_id", "turn_idx", "evidence",
+    ]
+    ev = packed.schema["evidence"].dataType
+    assert [f.name for f in ev.fields] == ["para_idx", "obj_start", "role", "tool"]
+    flat_rows = {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"],
+         r["para_idx"], r["obj_start"], r["role"], r["tool"])
+        for r in flat.collect()
+    }
+    packed_rows = {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"],
+         r["evidence"]["para_idx"], r["evidence"]["obj_start"],
+         r["evidence"]["role"], r["evidence"]["tool"])
+        for r in packed.collect()
+    }
+    assert packed_rows == flat_rows and flat_rows
