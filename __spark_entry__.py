@@ -312,6 +312,107 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def _q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: aggregate-subquery join — revenue from
+    lineitems whose quantity is below 20% of their part's average.
+    Exercises the agg-then-rejoin plan (per-key aggregate reused
+    against the fact table; the part dim broadcasts). The threshold is
+    avg(double)*0.2 computed identically in both engines (sum/count
+    then multiply — IEEE-deterministic), and quantities are integral,
+    so no boundary-ulp flips."""
+    part = _load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    li = _load(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("lim")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS lim
+      FROM lineitem GROUP BY l_partkey) a ON l_partkey = a.pk
+WHERE p_brand = 'Brand#17' AND l_quantity < lim
+"""
+
+
+def _q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a join — revenue
+    split by part type. Sums reported separately (no cross-engine
+    decimal-ratio division); NULL-skipping sum(CASE) on both sides."""
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", rev)), 2)
+            .cast("double")
+            .alias("economy_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(round(sum(CASE WHEN p_type = 'ECONOMY'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                                * CAST(1 - l_discount AS DECIMAL(12,4)) END), 2)
+            AS DOUBLE) AS economy_revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def _q_doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/lateral (UDTF-shape) coverage: corpus term frequencies —
+    explode whitespace tokens, count occurrences + document frequency,
+    keep terms appearing ≥ 50 times. The generator runs inside
+    whole-stage codegen; the aggregate is map-side combined."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= 50)
+    )
+
+
+_DOC_TERM_FREQ_SQL = """
+SELECT term, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents)
+GROUP BY term
+HAVING count(*) >= 50
+"""
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per (type, day) counts + value stats."""
     ev = _load(spark, sf_dir, "events")
@@ -1083,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q_q5_nation_revenue,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q4_order_priority": _q_q4_order_priority,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q17_small_quantity": _q_q17_small_quantity,
         "parts_never_ordered": _q_parts_never_ordered,
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
@@ -1093,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_term_freq": _q_doc_term_freq,
         "events_sessions": _q_events_sessions,
         "rollup_revenue": _q_rollup_revenue,
         "customers_without_orders": _q_customers_without_orders,
@@ -1123,6 +1227,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q4_order_priority": _Q4_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q17_small_quantity": _Q17_SQL,
         "parts_never_ordered": _PARTS_NEVER_SQL,
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
@@ -1133,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_lang_id": _DOC_LANG_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "doc_term_freq": _DOC_TERM_FREQ_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "customers_without_orders": _CUST_WITHOUT_ORDERS_SQL,

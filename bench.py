@@ -106,6 +106,8 @@ def main() -> None:
         "q3_segment_revenue",
         "q5_nation_revenue",
         "q6_forecast_revenue",
+        "q14_promo_revenue",
+        "q17_small_quantity",
         "events_daily",
         "events_sessions",
         "events_windowed",
@@ -114,6 +116,7 @@ def main() -> None:
         "doc_quality",
         "doc_lang_id",
         "doc_fingerprint",
+        "doc_term_freq",
         "dedup_exact",
         "dedup_minhash",
         "dedup_minhash_md5_pairs",

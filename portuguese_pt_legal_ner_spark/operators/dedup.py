@@ -6,9 +6,10 @@ each pure-DataFrame (no Python UDFs) so they ride whole-stage codegen:
   exact        — hash-groupBy on md5(text); min doc_id survives.
   minhash-LSH  — word n-gram shingles → minhash signature → banded
                  candidate join → exact-Jaccard verify → connected
-                 components → cluster representative. The scale path:
-                 candidates are generated per band bucket, never all
-                 pairs.
+                 components → cluster representative (numeric min).
+                 The scale path: candidates are generated per band
+                 bucket, never all pairs; oversized buckets emit
+                 linear star pairs instead of quadratic self-joins.
   simhash      — 64-bit simhash from token hashes; near-dup pairs =
                  hamming distance ≤ k, blocked on n_bands bit-slices
                  with the pigeonhole recall bound k ≤ n_bands-1
