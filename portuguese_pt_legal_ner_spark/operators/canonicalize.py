@@ -118,6 +118,26 @@ def union_find_components(edges: DataFrame) -> DataFrame:
     )
 
 
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def components_auto(
+    edges: DataFrame, n_edges: int, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Pick the clustering engine by MEASURED edge count (callers have
+    the edge set materialized, so the count is cheap): ≤
+    DRIVER_CC_MAX_EDGES → driver union-find (a few MB; the iterative
+    distributed loop's per-round stage scheduling + codegen compile
+    dwarfs the actual work — measured ~2.3 s for a 256-edge graph);
+    beyond → Kiveris large/small-star. The gate is on the EDGE SET
+    (post-threshold pairs / distinct surfaces), never the corpus — a
+    boilerplate-heavy 100-TB corpus can exceed the bound, and then the
+    distributed path runs."""
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        return union_find_components(edges)
+    return connected_components(edges, checkpoint_dir=checkpoint_dir)
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,

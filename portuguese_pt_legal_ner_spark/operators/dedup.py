@@ -388,24 +388,13 @@ def minhash_dedup(
     )
 
 
-DRIVER_CC_MAX_EDGES = 100_000
-
-
 def _components_for(
     pairs: DataFrame, n_pairs: int, checkpoint_dir: str | None
 ) -> DataFrame:
-    """Pick the clustering engine by MEASURED pair count (the pair set
-    is already materialized, so the count is free): ≤
-    DRIVER_CC_MAX_EDGES edges → driver union-find (a few MB, the fixed
-    cost of iterative distributed CC dwarfs the work); beyond →
-    Kiveris large/small-star. The gate is on the POST-THRESHOLD pair
-    set, never the corpus — at 100 TB a boilerplate-heavy corpus can
-    exceed the bound, and then the distributed path runs."""
-    from .canonicalize import union_find_components  # noqa: PLC0415
+    """Size-gated clustering engine — see canonicalize.components_auto."""
+    from .canonicalize import components_auto  # noqa: PLC0415
 
-    if n_pairs <= DRIVER_CC_MAX_EDGES:
-        return union_find_components(pairs)
-    return connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    return components_auto(pairs, n_pairs, checkpoint_dir)
 
 
 def _reliable_or_local_checkpoint(

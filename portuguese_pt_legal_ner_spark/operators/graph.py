@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .canonicalize import connected_components
+from .canonicalize import components_auto
 from .linking import link_surfaces, normalize_surface_col
 
 
@@ -56,12 +56,19 @@ def resolve_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
         F.coalesce(F.col("canonical"), F.col("surface_norm")),
     )
 
-    # co-reference components over (surface-node, canonical-node) edges
+    # co-reference components over (surface-node, canonical-node)
+    # edges. `resolved` (one row per distinct (surface, label)) feeds
+    # the edge set AND the canonical vote below — persist so the
+    # exact+LSH linking tiers run once, and the row count (an upper
+    # bound on the edge count) gates the small-graph driver union-find
+    # fast path (canonicalize.components_auto).
+    resolved = resolved.persist()
+    n_edges = resolved.count()
     edges = resolved.select(
         F.concat_ws("", F.lit("s"), F.col("label"), F.col("surface_norm")).alias("src"),
         F.concat_ws("", F.lit("c"), F.col("label"), F.col("canonical")).alias("dst"),
     )
-    comps = connected_components(edges)
+    comps = components_auto(edges, n_edges)
 
     # canonical name of a component = its canonical-node with the most
     # linked surfaces (deterministic tie-break on name)
