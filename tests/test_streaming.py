@@ -199,3 +199,59 @@ def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
     stream_user_sessions(spark, inp, out, ckp, gap_sec=1800)
     got2 = {x for x in rows() if x[0] != 3}  # user 3's session still open
     assert got2 == final
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys within the watermark
+    horizon are dropped across micro-batches AND across restarts (the
+    checkpoint carries the dedup state); state is watermark-bounded."""
+    from datetime import datetime
+
+    from portuguese_pt_legal_ner_spark.streaming.dedup import stream_dedup
+    from portuguese_pt_legal_ner_spark.streaming.windowed import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+
+    def ev(eid, minute):
+        return (eid, 10, "click", datetime(2024, 1, 1, 12, minute), 1.0)
+
+    # batch 1: event 1 duplicated in-batch, plus event 2
+    b1 = spark.createDataFrame(
+        [ev(1, 0), ev(1, 1), ev(2, 2)], EVENTS_STREAM_SCHEMA
+    )
+    b1.write.mode("append").parquet(inp)
+    stream_dedup(spark, inp, out, ckp, keys=("event_id",), delay="1 hour")
+    got1 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2]
+
+    # batch 2 (separate run = restart): event 1 again within the
+    # watermark horizon → dropped; event 3 is new → kept
+    b2 = spark.createDataFrame([ev(1, 3), ev(3, 4)], EVENTS_STREAM_SCHEMA)
+    b2.write.mode("append").parquet(inp)
+    stream_dedup(spark, inp, out, ckp, keys=("event_id",), delay="1 hour")
+    got2 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3]
+
+
+def test_batch_fallback_of_deduped_stream(spark):
+    from datetime import datetime
+
+    from portuguese_pt_legal_ner_spark.streaming.dedup import deduped_stream
+    from portuguese_pt_legal_ner_spark.streaming.windowed import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "click", datetime(2024, 1, 1, 12, 0), 1.0),
+            (1, 10, "click", datetime(2024, 1, 1, 12, 1), 2.0),
+            (2, 11, "view", datetime(2024, 1, 1, 12, 2), 3.0),
+        ],
+        EVENTS_STREAM_SCHEMA,
+    )
+    got = sorted(r["event_id"] for r in deduped_stream(df).collect())
+    assert got == [1, 2]
