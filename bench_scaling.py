@@ -39,7 +39,6 @@ Results print as one JSON line and append to BENCH.md.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import subprocess
@@ -84,7 +83,13 @@ def _parse_stage_decomposition(
     exchange write) is the detector stage; later stages are the
     shuffle/window/count tail."""
     stages: list[dict] = []
-    for fname in glob.glob(os.path.join(log_dir, "*")):
+    files = [
+        os.path.join(root, fn)
+        for root, _dirs, fns in os.walk(log_dir)
+        for fn in fns
+        if not fn.startswith("appstatus")
+    ]
+    for fname in files:
         with open(fname) as f:
             for line in f:
                 try:
@@ -144,6 +149,7 @@ def _child(cores: int, path: str, reps: int) -> None:
             # per-stage decomposition evidence (round-2 verdict item 1b)
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{log_dir}",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
