@@ -1251,8 +1251,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_threshold_count": _ANN_SQL,
-        # dedup_minhash / dedup_simhash / ann_srp_topk / ann_ivf_topk /
-        # multimodal_features: rows-only (engine-specific hashes or
-        # binary payloads); each is pytest-gated against exact
-        # baselines (planted dups, numpy brute force, fake codec)
+        # dedup_minhash / dedup_simhash / dedup_embedding_clusters /
+        # ann_srp_topk / ann_ivf_topk / ann_ivf_probe /
+        # multimodal_features / kg_triples_evidence: rows-only
+        # (engine-specific hashes, binary payloads, or struct export);
+        # each is pytest-gated against exact baselines (planted dups,
+        # numpy brute force, fake codec, flat↔struct losslessness)
     }

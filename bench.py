@@ -13,8 +13,9 @@ deterministically, scaled to the sf of the chosen dir. Set
 SPARK_GRAFT_BENCH_CONVS to override the conversation count.
 
 For the N-vs-4N scaling-efficiency evidence (BASELINE.md row 2), run
-``python bench_scaling.py`` which executes the same KG job at
-local[8] and local[32] on identical input and reports efficiency.
+``python bench_scaling.py`` — a pinned local[8]/[16]/[32] ladder on
+identical input with interleaved hardware-ceiling probes and per-stage
+event-log decomposition.
 """
 
 from __future__ import annotations
