@@ -45,7 +45,19 @@ def main() -> None:
     parser.add_argument("--master", default=None)
     parser.add_argument("--salt-buckets", type=int, default=None)
     parser.add_argument("--confidence-threshold", type=float, default=None)
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="reliable-checkpoint dir (HDFS/object store) "
+                        "for the CC iterations; default localCheckpoint is "
+                        "unrecoverable on executor loss (config: "
+                        "kg.checkpoint_dir)")
     args = parser.parse_args()
+
+    if args.input and args.synthetic:
+        # both sources given explicitly: refuse instead of silently
+        # picking one (round-3 advice — the precedence between the two
+        # flipped once already, breaking invocations that passed both)
+        parser.error("--input and --synthetic are mutually exclusive; "
+                     "pass exactly one input source")
 
     exp_name = "kg-pipeline"
     confidence = 0.5
@@ -66,6 +78,7 @@ def main() -> None:
         args.master = args.master or cfg.kg.master
         if args.salt_buckets is None:
             args.salt_buckets = cfg.kg.salt_buckets
+        args.checkpoint_dir = args.checkpoint_dir or (cfg.kg.checkpoint_dir or None)
     if args.confidence_threshold is not None:
         confidence = args.confidence_threshold
     args.alias_dict = args.alias_dict or "builtin"
@@ -106,7 +119,8 @@ def main() -> None:
     out = pipeline.run(transcripts, alias_dict=alias,
                        transcripts_path=input_desc,
                        salt_buckets=args.salt_buckets,
-                       confidence_threshold=confidence)
+                       confidence_threshold=confidence,
+                       checkpoint_dir=args.checkpoint_dir)
 
     counts = {name: df.count() for name, df in out.items()}
     for name, n in counts.items():

@@ -62,6 +62,12 @@ class KGConfig:
     salt_buckets: int = 16
     master: str | None = None
     synthetic_conversations: int = 0  # >0: generate instead of input_file
+    # reliable-checkpoint dir (HDFS/object store) for the iterative
+    # connected-components stages (entity resolution here; the dedup
+    # operators take the same knob directly). Empty -> localCheckpoint:
+    # fast, but UNRECOVERABLE on executor loss — set this on a real
+    # cluster so a 1000-executor CC run recomputes instead of dying.
+    checkpoint_dir: str = ""
 
 
 @dataclass

@@ -121,6 +121,18 @@ def union_find_components(edges: DataFrame) -> DataFrame:
 DRIVER_CC_MAX_EDGES = 100_000
 
 
+def _driver_cc_max_edges() -> int:
+    """The union-find gate, env-overridable
+    (SPARK_GRAFT_DRIVER_CC_MAX_EDGES): ops tuning for drivers with
+    less headroom, and 0 forces the distributed path — which is also
+    how the e2e config test exercises reliable checkpoints on a
+    small graph."""
+    import os  # noqa: PLC0415
+
+    raw = os.environ.get("SPARK_GRAFT_DRIVER_CC_MAX_EDGES")
+    return int(raw) if raw else DRIVER_CC_MAX_EDGES
+
+
 def components_auto(
     edges: DataFrame, n_edges: int, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -133,7 +145,7 @@ def components_auto(
     (post-threshold pairs / distinct surfaces), never the corpus — a
     boilerplate-heavy 100-TB corpus can exceed the bound, and then the
     distributed path runs."""
-    if n_edges <= DRIVER_CC_MAX_EDGES:
+    if n_edges <= _driver_cc_max_edges():
         return union_find_components(edges)
     return connected_components(edges, checkpoint_dir=checkpoint_dir)
 

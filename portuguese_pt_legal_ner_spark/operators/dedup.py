@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import register
 from .canonicalize import connected_components
 
 N_HASHES = 32
@@ -254,8 +255,7 @@ def minhash_candidate_pairs(
     (collision odds negligible next to minhash noise)."""
     grams = gram_hash_spine(docs, ngram).persist()
     sig = minhash_signature_table(docs, ngram, grams=grams).persist()
-    if persist_registry is not None:
-        persist_registry.extend([grams, sig])
+    register(persist_registry, grams, sig)
     bands = _bands_from_sig(sig)
     star = None
     if max_bucket_size:
@@ -436,12 +436,17 @@ def minhash_md5_signature(
 
 
 def minhash_md5_candidate_pairs(
-    docs: DataFrame, n_hashes: int = 8, n_bands: int = 4, ngram: int = 3
+    docs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs from the md5 signature — same banded-join
     shape as minhash_candidate_pairs, but every hash is engine-neutral
     so the whole blocking path is SQL-oracle-checkable. The signature
-    is persisted: the band self-join references it twice."""
+    is persisted (the band self-join references it twice) and recorded
+    for release via `persist_registry` / cache.release_tracked()."""
     if n_hashes % n_bands:
         raise ValueError(
             f"n_bands={n_bands} must divide n_hashes={n_hashes} — a "
@@ -450,6 +455,7 @@ def minhash_md5_candidate_pairs(
         )
     rpb = n_hashes // n_bands
     sig = minhash_md5_signature(docs, n_hashes, ngram).persist()
+    register(persist_registry, sig)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -513,7 +519,11 @@ def simhash_md5_table(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_md5_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4, bits: int = 32
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup pairs from the md5 simhash —
     the full banded blocking + hamming verify path in engine-neutral
@@ -531,6 +541,7 @@ def simhash_md5_neardup_pairs(
     width = bits // n_bands
     mask = (1 << width) - 1
     sh = simhash_md5_table(docs, bits).persist()
+    register(persist_registry, sh)
     bands = sh.select(
         "doc_id",
         F.explode(
@@ -650,7 +661,10 @@ def simhash_table(docs: DataFrame) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k,
     blocked on `n_bands` equal bit-slices of the 64-bit simhash.
@@ -675,6 +689,7 @@ def simhash_neardup_pairs(
     # band self-join, and the hamming re-attach all re-reference this
     # plan (slim: 2 longs per doc)
     sh = simhash_table(docs).persist()
+    register(persist_registry, sh)
     bands = sh.select(
         "doc_id",
         F.explode(
@@ -852,7 +867,10 @@ def embedding_neardup_clusters(
 
 
 def ngram_jaccard_sparse(
-    docs_a: DataFrame, docs_b: DataFrame, ngram: int = 3
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    ngram: int = 3,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted index — the shape that
     scales: explode shingles, equi-join on the shingle, count shared
@@ -872,6 +890,7 @@ def ngram_jaccard_sparse(
         F.col("doc_id").alias("doc_b"),
         F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
     ).persist()
+    register(persist_registry, ga, gb)
     inter = (
         ga.join(gb, "g")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import register
 from .canonicalize import components_auto
 from .linking import link_surfaces, normalize_surface_col
 
@@ -30,7 +31,12 @@ def entity_id_col(label_col, canonical_col):
     )
 
 
-def resolve_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+def resolve_entities(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    persist_registry: list[DataFrame] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """mentions + alias dict → surface resolution table.
 
     Unlinked surfaces become their own canonical (normalized surface),
@@ -39,6 +45,10 @@ def resolve_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     connected components collapse alias families that exact+LSH tiers
     discovered independently. Returns
     (surface, label, canonical, entity_id).
+
+    `checkpoint_dir`: reliable-checkpoint directory for the CC
+    iterations (config key kg.checkpoint_dir); default localCheckpoint
+    is fast but unrecoverable on executor loss.
     """
     links = link_surfaces(mentions, alias_dict)  # surface,label,surface_norm,canonical,sim,tier
 
@@ -61,14 +71,18 @@ def resolve_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     # the edge set AND the canonical vote below — persist so the
     # exact+LSH linking tiers run once, and the row count (an upper
     # bound on the edge count) gates the small-graph driver union-find
-    # fast path (canonicalize.components_auto).
+    # fast path (canonicalize.components_auto). Recorded for release
+    # (persist_registry / cache.release_tracked) since the returned
+    # plan still references it — the caller unpersists after
+    # materializing.
     resolved = resolved.persist()
+    register(persist_registry, resolved)
     n_edges = resolved.count()
     edges = resolved.select(
         F.concat_ws("", F.lit("s"), F.col("label"), F.col("surface_norm")).alias("src"),
         F.concat_ws("", F.lit("c"), F.col("label"), F.col("canonical")).alias("dst"),
     )
-    comps = components_auto(edges, n_edges)
+    comps = components_auto(edges, n_edges, checkpoint_dir)
 
     # canonical name of a component = its canonical-node with the most
     # linked surfaces (deterministic tie-break on name)

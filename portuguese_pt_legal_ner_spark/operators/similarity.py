@@ -72,13 +72,18 @@ def brute_force_topk(
     """(qid, cid, cos, rank) — exact top-k per query vector.
 
     queries: (qid, qe) — typically a small subset; Spark broadcasts it
-    under AQE when it fits. Deterministic tie-break (cos desc, cid)."""
+    under AQE when it fits. Deterministic tie-break (cos desc, cid).
+
+    Scoring is the Arrow-batched numpy cosine (round-3 verdict item 1:
+    the interpreted-HOF form costs ~10 µs/pair with per-pair array
+    allocs, and the Q·N candidate set is the BIG side by construction
+    — the exact place the vectorized form pays)."""
     c = embeddings.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     pairs = queries.join(c, F.col("qid") != F.col("cid"))
     scored = pairs.select(
-        "qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos")
+        "qid", "cid", cosine_pandas(F.col("qe"), F.col("ce")).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -196,7 +201,9 @@ def srp_ann_topk(
             ),
             "cid",
         )
-        .select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        .select(
+            "qid", "cid", cosine_pandas(F.col("qe"), F.col("ce")).alias("cos")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -438,10 +445,15 @@ def ivf_index(
     iters: int = 3,
     seed: int = 42,
     sample_size: int | None = 4096,
+    persist: bool = True,
 ) -> IVFIndex:
     """Build the IVF index: sample-trained Lloyd centroids + ONE full
     assignment pass (a single [batch, DIM] @ [DIM, k] matmul per Arrow
-    batch), persisted for repeated probes."""
+    batch), persisted for repeated probes.
+
+    persist=False for one-shot build-probe-discard use (ivf_topk with
+    no caller-held index): the cell assignment is read exactly once,
+    so caching it only leaks blocks into a long-lived session."""
     from .dedup import _ensure_parallelism  # noqa: PLC0415
 
     cents = kmeans_cells(embeddings, n_cells, iters, seed, sample_size)
@@ -450,7 +462,9 @@ def ivf_index(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         _nearest_cell(F.col("embedding"), cents).alias("cell"),
-    ).persist()
+    )
+    if persist:
+        cells = cells.persist()
     return IVFIndex(cents, cells)
 
 
@@ -480,7 +494,13 @@ def ivf_probe(
         .select("qid", "qe", F.col("p.cell").alias("cell"))
     )
     cands = probed.join(index.cells, "cell").filter(F.col("qid") != F.col("cid"))
-    scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    # candidate scoring = queries × nprobe × cell size — the scale-
+    # proportional side; Arrow-batched numpy cosine, not interpreted
+    # HOFs (round-3 verdict item 1). The nprobe routing above stays a
+    # JVM expression: it touches only Q rows × k literal centroids.
+    scored = cands.select(
+        "qid", "cid", cosine_pandas(F.col("qe"), F.col("ce")).alias("cos")
+    )
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
@@ -507,7 +527,7 @@ def ivf_topk(
     quantizer='label' keeps the per-label-centroid variant for
     comparison/tests."""
     if quantizer == "kmeans":
-        idx = index or ivf_index(embeddings, n_cells, iters, seed)
+        idx = index or ivf_index(embeddings, n_cells, iters, seed, persist=False)
         return ivf_probe(idx, queries, k, nprobe)
     cents_df = F.broadcast(label_centroids(embeddings))
     qc = queries.join(cents_df).select(
@@ -524,7 +544,9 @@ def ivf_topk(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
     )
     cands = probed.join(cells, "label").filter(F.col("qid") != F.col("cid"))
-    scored = cands.select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    scored = cands.select(
+        "qid", "cid", cosine_pandas(F.col("qe"), F.col("ce")).alias("cos")
+    )
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k

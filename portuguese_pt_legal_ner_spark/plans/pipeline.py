@@ -158,10 +158,17 @@ class KGPipeline:
         transcripts_path: str = "<in-memory>",
         salt_buckets: int = 16,
         confidence_threshold: float = 0.5,
+        checkpoint_dir: str | None = None,
     ) -> dict[str, DataFrame]:
         """Full DAG: transcripts → mentions → triples → entity
         resolution (exact + LSH linking + connected components) →
-        entities + edges tables."""
+        entities + edges tables.
+
+        `checkpoint_dir` (config kg.checkpoint_dir) switches the
+        resolution stage's connected-components iterations to RELIABLE
+        checkpoints — on a real cluster the iterative CC state must
+        survive executor loss; the localCheckpoint default is
+        single-box speed only."""
         mentions = self.run_stage(
             "mentions",
             lambda: detect_mentions(
@@ -178,11 +185,24 @@ class KGPipeline:
         )
         out = {"mentions": mentions, "triples": triples}
         if alias_dict is not None:
+            # run_stage materializes to parquet before returning, so the
+            # linking intermediates resolve_entities persists can be
+            # released as soon as the stage completes (cache lifecycle —
+            # round-3 advice: a resumable pipeline is exactly the
+            # long-lived driver that accumulates leaked blocks)
+            registry: list[DataFrame] = []
             resolution = self.run_stage(
                 "resolution",
-                lambda: resolve_entities(mentions, alias_dict),
+                lambda: resolve_entities(
+                    mentions,
+                    alias_dict,
+                    persist_registry=registry,
+                    checkpoint_dir=checkpoint_dir,
+                ),
                 inputs=[self._out_path("mentions")],
             )
+            for df in registry:
+                df.unpersist()
             entities = self.run_stage(
                 "entities",
                 lambda: entities_table(resolution),

@@ -79,3 +79,47 @@ def test_pipeline_runs_from_yaml(tmp_path):
         f"SELECT DISTINCT name FROM read_parquet('{workdir}/_runs/runs.parquet/*.parquet')"
     ).fetchall()
     assert ("yaml_smoke",) in names
+
+
+def test_pipeline_reliable_checkpoint_from_yaml(tmp_path):
+    """kg.checkpoint_dir flows config → run_pipeline → KGPipeline →
+    resolve_entities → components_auto (round-3 verdict item 4): the
+    run completes with RELIABLE checkpoints and actually writes CC
+    iteration state into the configured directory."""
+    workdir = tmp_path / "kg_out"
+    ckpt = tmp_path / "ckpt"
+    cfg = tmp_path / "exp.yaml"
+    cfg.write_text(
+        "experiment_name: yaml_ckpt\n"
+        f"kg:\n  workdir: {workdir}\n  synthetic_conversations: 20\n"
+        f"  master: local[2]\n  checkpoint_dir: {ckpt}\n"
+    )
+    # force the distributed CC path (the driver union-find fast path
+    # would legitimately skip checkpointing on a 20-conversation graph)
+    env = {**__import__("os").environ, "SPARK_GRAFT_DRIVER_CC_MAX_EDGES": "0"}
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_pipeline.py"),
+         "--config", str(cfg)],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (workdir / "edges" / "_SUCCESS").exists()
+    # reliable checkpoints materialize as rdd-* dirs under the
+    # configured path (localCheckpoint would leave it empty)
+    assert any(ckpt.rglob("rdd-*")), (
+        f"no reliable-checkpoint state under {ckpt}"
+    )
+
+
+def test_input_and_synthetic_conflict(tmp_path):
+    """Explicit --input + explicit --synthetic is refused, not
+    silently resolved (round-3 advice: the precedence flipped once
+    already between rounds)."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_pipeline.py"),
+         "--input", "/tmp/nope.parquet", "--synthetic", "5",
+         "--workdir", str(tmp_path / "w")],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert proc.returncode != 0
+    assert "mutually exclusive" in proc.stderr
