@@ -111,12 +111,15 @@ def minhash_signature_table(
     (xor'd minima correlate across functions, flooding bands with
     false candidates — measured 2.5x slower end-to-end)."""
     g = grams if grams is not None else gram_hash_spine(docs, ngram)
-    return g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m_{i}")
-            for i in range(N_HASHES)
-        ],
+    # one templated spark.sql call, not N_HASHES×4 Column-API calls —
+    # the py4j plan-construction tax is per-call driver overhead (see
+    # simhash_table)
+    mins = ", ".join(
+        f"min(xxhash64(h, {i})) AS m_{i}" for i in range(N_HASHES)
+    )
+    return g.sparkSession.sql(
+        f"SELECT doc_id, count(1) AS n_sh, {mins} FROM {{g}} GROUP BY doc_id",
+        g=g,
     )
 
 
@@ -169,6 +172,46 @@ def _cap_buckets(
     )
 
 
+def _observe_star(star: DataFrame, observation, id_col: str = "doc_a"):
+    """Attach a zero-extra-job audit to a star-pair branch: when the
+    plan materializes, `observation.get` yields {star_pairs,
+    oversized_reps} — how many linear pairs replaced oversized-bucket
+    self-joins and how many distinct bucket representatives were
+    involved. The no-silent-caps rule, without paying a separate
+    audit job (the metrics ride the query's own execution)."""
+    if observation is None:
+        return star
+    # approx_count_distinct: observed metrics reject DISTINCT
+    # aggregates; rep count is a log-line figure, ±2% HLL is fine
+    return star.observe(
+        observation,
+        F.count(F.lit(1)).alias("star_pairs"),
+        F.approx_count_distinct(F.col(id_col)).alias("oversized_reps"),
+    )
+
+
+def _log_star_audit(observation, op: str, max_bucket_size: int) -> dict:
+    """Read a star-branch Observation after the plan ran and log the
+    volume (INFO when zero, WARNING when buckets overflowed) — the
+    default audit emission for capped/star-linked buckets."""
+    import logging  # noqa: PLC0415
+
+    vals = dict(observation.get)
+    logger = logging.getLogger("portuguese_pt_legal_ner_spark.dedup")
+    if vals.get("star_pairs", 0):
+        logger.warning(
+            "%s: %d band buckets exceeded max_bucket_size=%d; emitted %d "
+            "star pairs (linear link via bucket min) instead of quadratic "
+            "self-joins",
+            op, vals.get("oversized_reps", 0), max_bucket_size,
+            vals.get("star_pairs", 0),
+        )
+    else:
+        logger.info("%s: no band bucket exceeded max_bucket_size=%d",
+                    op, max_bucket_size)
+    return vals
+
+
 def _split_oversized(
     bands: DataFrame, keys: list[str], id_col: str, max_bucket_size: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -219,6 +262,7 @@ def minhash_candidate_pairs(
     ngram: int = 3,
     max_bucket_size: int = MAX_BAND_BUCKET,
     persist_registry: list[DataFrame] | None = None,
+    star_observation=None,
 ) -> DataFrame:
     """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
 
@@ -279,6 +323,7 @@ def minhash_candidate_pairs(
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
+        star = _observe_star(star, star_observation)
         bands = joined.filter(F.col("_bn") <= max_bucket_size).drop("_bn", "_bm")
 
     left = bands.select(
@@ -357,15 +402,23 @@ def minhash_dedup(
     localCheckpoint is fast but UNRECOVERABLE on executor loss (a
     1000-executor CC run would die mid-iteration instead of
     recomputing)."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     registry: list[DataFrame] = []
+    obs = Observation() if max_bucket_size else None
     pairs = minhash_candidate_pairs(
-        docs, ngram, max_bucket_size, persist_registry=registry
+        docs, ngram, max_bucket_size, persist_registry=registry,
+        star_observation=obs,
     ).filter(F.col("jaccard") >= threshold).select(
         _pad_id(F.col("doc_a")).alias("doc_a"),
         _pad_id(F.col("doc_b")).alias("doc_b"),
     )
     pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
     n_pairs = pairs.count()
+    if obs is not None:
+        # default no-silent-caps audit: the star metrics rode the
+        # checkpoint materialization — no extra job
+        _log_star_audit(obs, "minhash_dedup", max_bucket_size)
     for df in registry:
         df.unpersist()
     identity = docs.select(
@@ -425,13 +478,12 @@ def minhash_md5_signature(
     g = _ensure_parallelism(docs).select(
         "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
     )
-    return g.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("g")))).alias(
-                f"mh_{i}"
-            )
-            for i in range(n_hashes)
-        ]
+    mins = ", ".join(
+        f"min(md5(concat_ws(':', '{i}', g))) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    return g.sparkSession.sql(
+        f"SELECT doc_id, {mins} FROM {{g}} GROUP BY doc_id", g=g
     )
 
 
@@ -500,22 +552,26 @@ def simhash_md5_table(docs: DataFrame, bits: int = 32) -> DataFrame:
     tok = _ensure_parallelism(docs).select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
-    counts = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.when(F.substring("h", i + 1, 1).isin(*_HEX_ODD), 1).otherwise(0)
-            ).alias(f"c_{i}")
-            for i in range(bits)
-        ],
+    odd = ", ".join(f"'{d}'" for d in _HEX_ODD)
+    # one templated spark.sql call instead of bits×6 Column-API calls —
+    # the py4j plan-construction tax is per-call driver overhead (see
+    # simhash_table)
+    sums = ", ".join(
+        f"sum(if(substring(h, {i + 1}, 1) IN ({odd}), 1, 0)) AS c_{i}"
+        for i in range(bits)
     )
-    sim = None
-    for i in range(bits):
-        term = F.when(
-            F.col(f"c_{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return counts.select("doc_id", sim.alias("sim"))
+    word = " + ".join(
+        f"if(c_{i} * 2 > n, cast({1 << i} AS bigint), cast(0 AS bigint))"
+        for i in range(bits)
+    )
+    return docs.sparkSession.sql(
+        f"""
+        SELECT doc_id, {word} AS sim
+        FROM (SELECT doc_id, count(1) AS n, {sums}
+              FROM {{tok}} GROUP BY doc_id)
+        """,
+        tok=tok,
+    )
 
 
 def simhash_md5_neardup_pairs(
@@ -542,8 +598,11 @@ def simhash_md5_neardup_pairs(
     mask = (1 << width) - 1
     sh = simhash_md5_table(docs, bits).persist()
     register(persist_registry, sh)
+    # sim rides the band exchange; pair dedup AFTER the hamming filter
+    # (same exchange-count reduction as simhash_neardup_pairs)
     bands = sh.select(
         "doc_id",
+        "sim",
         F.explode(
             F.array(
                 *[
@@ -557,29 +616,24 @@ def simhash_md5_neardup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    pair_ids = (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "band_idx", "band_val",
     )
     return (
-        pair_ids.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b")),
-            "doc_b",
-        )
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -633,30 +687,34 @@ def simhash_table(docs: DataFrame) -> DataFrame:
     reference (measured 33 s vs <2 s for 5k docs at sf0.1); keep
     simhash_col for single-column use, this for table-scale jobs.
 
+    The 64-sum aggregate is assembled as ONE templated spark.sql call,
+    not 64×5 Column-API calls: building the equivalent Column tree
+    costs ~2.2 s of py4j round-trips PER CALL on the driver (measured;
+    server-side parse+analysis of the same query is 2 ms) — a fixed
+    tax that dominated dedup_simhash at bench scale and would hold a
+    100-TB driver hostage just the same.
+
     Equivalence: simhash_col sets bit i iff Σ±1 over tokens > 0, i.e.
     iff 2·(#tokens with bit i set) > n_tokens — asserted identical in
     test_dedup."""
-    from functools import reduce  # noqa: PLC0415
-
     tok = _ensure_parallelism(docs).select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
-    counts = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c_{i}")
-            for i in range(64)
-        ],
+    sums = ", ".join(
+        f"sum(shiftright(h, {i}) & 1) AS c_{i}" for i in range(64)
     )
-    terms = [
-        F.when(
-            F.col(f"c_{i}") * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
+    word = " | ".join(
+        f"if(c_{i} * 2 > n, shiftleft(cast(1 AS bigint), {i}), "
+        f"cast(0 AS bigint))"
         for i in range(64)
-    ]
-    return counts.select(
-        "doc_id", reduce(lambda a, b: a.bitwiseOR(b), terms).alias("sim")
+    )
+    return docs.sparkSession.sql(
+        f"""
+        SELECT doc_id, {word} AS sim
+        FROM (SELECT doc_id, count(1) AS n, {sums}
+              FROM {{tok}} GROUP BY doc_id)
+        """,
+        tok=tok,
     )
 
 
@@ -665,6 +723,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     persist_registry: list[DataFrame] | None = None,
+    star_observation=None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k,
     blocked on `n_bands` equal bit-slices of the 64-bit simhash.
@@ -685,13 +744,20 @@ def simhash_neardup_pairs(
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    # persisted: the cap's bucket-size aggregate, both sides of the
-    # band self-join, and the hamming re-attach all re-reference this
-    # plan (slim: 2 longs per doc)
+    # persisted: the split's bucket-size aggregate and both self-join
+    # sides re-reference the aggregate through `bands` (slim: 2 longs
+    # per doc)
     sh = simhash_table(docs).persist()
     register(persist_registry, sh)
+    # the sim word (ONE long, like minhash's n_sh) RIDES the band
+    # exchange, so the hamming verify needs no re-attach joins — and
+    # the pair dedup moves AFTER the hamming filter, an exchange on the
+    # verified survivors instead of the full candidate list (measured:
+    # the dedup-then-join-twice shape spent 2 of dedup_simhash's 3
+    # post-signature seconds on those three exchanges at sf0.1)
     bands = sh.select(
         "doc_id",
+        "sim",
         F.explode(
             F.array(
                 *[
@@ -705,36 +771,44 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
     # oversized buckets → star pairs vs the bucket min (kept linked at
-    # linear cost, never quadratic); small buckets → self-join
-    bands, star = _split_oversized(
-        bands, ["band_idx", "band_val"], "doc_id", MAX_BAND_BUCKET
+    # linear cost, never quadratic); small buckets → self-join. Inlined
+    # _split_oversized keeping sim attached to both pair sides.
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min(F.struct("doc_id", "sim")).alias("_bm"),
     )
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    pair_ids = (
+    joined = bands.join(sizes, ["band_idx", "band_val"])
+    star = joined.filter(
+        (F.col("_bn") > MAX_BAND_BUCKET)
+        & (F.col("doc_id") != F.col("_bm.doc_id"))
+    ).select(
+        F.col("_bm.doc_id").alias("doc_a"),
+        F.col("_bm.sim").alias("sim_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim").alias("sim_b"),
+    )
+    star = _observe_star(star, star_observation)
+    small = joined.filter(F.col("_bn") <= MAX_BAND_BUCKET).drop("_bn", "_bm")
+    left = small.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    right = small.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    return (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "sim_a", "doc_b", "sim_b")
         .unionByName(star)
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # hamming verify: sim words re-attached to candidate PAIRS only —
-    # the band exchange itself carries (doc_id, band) and nothing else
-    return (
-        pair_ids.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b")),
-            "doc_b",
-        )
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -790,6 +864,8 @@ def embedding_neardup_clusters(
     reducer (round-2 verdict item 2). `checkpoint_dir` switches the
     pair set + CC to reliable checkpoints for executor-loss-safe
     cluster runs."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     from .similarity import N_PLANES, cosine_pandas, srp_sketch_pandas  # noqa: PLC0415
 
     bits_per_band = N_PLANES // n_bands
@@ -819,13 +895,15 @@ def embedding_neardup_clusters(
     bands, star = _split_oversized(
         bands, ["band_idx", "band_val"], "vec_id", max_bucket_size
     )
+    obs = Observation()
+    star = _observe_star(star.toDF("vec_a", "vec_b"), obs, id_col="vec_a")
     left = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
     pair_ids = (
         left.join(right, ["band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .unionByName(star.toDF("vec_a", "vec_b"))
+        .unionByName(star)
         .dropDuplicates(["vec_a", "vec_b"])
     )
     pairs = (
@@ -845,6 +923,7 @@ def embedding_neardup_clusters(
     )
     pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
     n_pairs = pairs.count()
+    _log_star_audit(obs, "embedding_neardup_clusters", max_bucket_size)
     emb.unpersist()
     identity = embeddings.select(
         "vec_id", F.col("vec_id").alias("cluster_id")

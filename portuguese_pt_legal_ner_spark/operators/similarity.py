@@ -331,6 +331,45 @@ def _nearest_cell(vec: Column, cents: list[list[float]]) -> Column:
     return _assign(vec)
 
 
+def _nearest_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Top-`nprobe` cells by cosine, as array<int> — the query router
+    for ivf_probe. One [batch, DIM] @ [DIM, k] matmul per Arrow batch
+    against norm-scaled centroids (argmax of x·(c/|c|) == argmax
+    cosine), argpartition for the top slice, exact ordering within it.
+
+    Why a pandas UDF and not the literal-centroid column expression
+    (_nearest_cell_exprs): centroid LITERALS are embedded in the
+    generated code, so every newly built index produced a brand-new
+    codegen unit — ~2 s of Janino/JIT per probe plan that no warm-up
+    could amortize (measured: probe 2.8 s cold vs 0.6 s warm at sf0.1
+    on identical data). Closure-captured centroids keep the plan shape
+    — and the generated code — index-independent. Deterministic
+    tie-break: lower cell id first."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cmat = None
+    np_ = min(nprobe, len(cents))
+
+    @pandas_udf("array<int>")
+    def _route(vecs):
+        nonlocal cmat
+        if cmat is None:
+            m = np.array(cents, dtype=np.float64)  # [k, DIM]
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cmat = (m / norms).T  # [DIM, k]
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # [batch, DIM]
+        scores = mat @ cmat  # [batch, k]
+        # stable argsort of -score: equal scores keep ascending cell id
+        order = np.argsort(-scores, axis=1, kind="stable")
+        top = order[:, :np_].astype("int32")
+        return pd.Series(list(top))
+
+    return _route(vec)
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -356,29 +395,44 @@ def kmeans_cells(
     centroids, for which a fixed-size sample is statistically ample —
     iterating Lloyd over all 10¹² rows would pay `iters` full-table
     passes for centroids that move by noise. The sample is ONE
-    TakeOrdered job (no global sort materialization) and is persisted
-    across iterations. Pass sample_size=None to train on everything.
+    TakeOrdered job (no global sort materialization), and Lloyd then
+    runs DRIVER-SIDE in numpy on the collected sample_size × DIM
+    matrix (≤ 2 MB at the default — the same bounded-driver-state
+    class as the CC union-find gate): each distributed iteration was
+    a whole Spark job (scheduling + Arrow round-trip) to average a
+    4096-row sample — ~0.6 s/iteration of pure overhead at any sf
+    (the index build's dominant cost after the round-3 split). Pass
+    sample_size=None to train on everything with the distributed
+    aggregation loop (one map-side-combined job per iteration).
     """
     from .dedup import _ensure_parallelism  # noqa: PLC0415
 
-    train = _ensure_parallelism(embeddings).select("vec_id", "embedding")
     if sample_size:
-        train = (
-            train.withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        import numpy as np  # noqa: PLC0415
+
+        rows = (
+            embeddings.select("vec_id", "embedding")
+            .withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
             .orderBy("_h", "vec_id")
             .limit(sample_size)
-            .drop("_h")
+            .select("embedding")
+            .collect()
         )
-        # re-spread the TakeOrdered result (it lands on one partition);
-        # a ≤4096-row sample needs a handful of partitions, not one per
-        # core — each Lloyd iteration is one job over the sample, and
-        # with 32 micro-tasks its cost was pure scheduling (measured
-        # 2.5 s for 3 iterations at sf0.1; ~1 s at 4 partitions)
-        par = max(2, min(
-            sample_size // 1024,
-            train.sparkSession.sparkContext.defaultParallelism,
-        ))
-        train = train.repartition(par)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        # deterministic init: the n_cells smallest hashes — the sample
+        # is already hash-ordered, so that's its first n_cells rows
+        cents = mat[: min(n_cells, len(mat))].copy()
+        for _ in range(iters):
+            norms = np.linalg.norm(cents, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            assign = (mat @ (cents / norms).T).argmax(axis=1)
+            for ci in range(len(cents)):  # empty cells keep position
+                members = mat[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        return [[float(x) for x in c] for c in cents]
+
+    train = _ensure_parallelism(embeddings).select("vec_id", "embedding")
     train = train.persist()
     init = (
         train.withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
@@ -472,26 +526,16 @@ def ivf_probe(
     index: IVFIndex, queries: DataFrame, k: int = 10, nprobe: int = 2
 ) -> DataFrame:
     """Probe a built index: route each query to its `nprobe` nearest
-    coarse cells (literal-centroid argmax — no job), exact-search only
-    those cells (probe cost ≈ nprobe/n_cells of brute force)."""
-    cents = index.centroids
-    probe_scores = F.array(
-        *[
-            F.struct(
-                cosine(F.col("qe"), _lit_vec(c)).alias("ccos"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    ).cast("array<struct<ccos:double,cell:int>>")
+    coarse cells (closure-captured centroid matmul — plan shape, and
+    therefore generated code, independent of the index), exact-search
+    only those cells (probe cost ≈ nprobe/n_cells of brute force)."""
     probed = (
         queries.select(
             "qid", "qe",
             F.explode(
-                F.slice(F.reverse(F.array_sort(probe_scores)), 1, nprobe)
-            ).alias("p"),
+                _nearest_cells(F.col("qe"), index.centroids, nprobe)
+            ).alias("cell"),
         )
-        .select("qid", "qe", F.col("p.cell").alias("cell"))
     )
     cands = probed.join(index.cells, "cell").filter(F.col("qid") != F.col("cid"))
     # candidate scoring = queries × nprobe × cell size — the scale-

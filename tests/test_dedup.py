@@ -357,3 +357,92 @@ def test_ngram_jaccard_sparse_equals_dense(spark, docs):
         for r in ngram_jaccard_sparse(docs, docs).collect()
     }
     assert sparse == dense
+
+
+def test_star_audit_logged_by_default(spark, docs, caplog):
+    """No-silent-caps (round-3 verdict item 5): when band buckets
+    overflow the cap, minhash_dedup logs the star-link volume by
+    default — the metrics ride the query's own materialization
+    (Observation), no separate audit job."""
+    import logging
+
+    flood = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate disclaimer " * 10).alias("text"),
+    )
+    corpus = docs.unionByName(flood)
+    with caplog.at_level(
+        logging.INFO, logger="portuguese_pt_legal_ner_spark.dedup"
+    ):
+        minhash_dedup(corpus, 0.7, max_bucket_size=50).count()
+    flagged = [r for r in caplog.records if "star pairs" in r.message]
+    assert flagged and flagged[0].levelno == logging.WARNING
+    caplog.clear()
+    # and the quiet case logs INFO, not WARNING
+    with caplog.at_level(
+        logging.INFO, logger="portuguese_pt_legal_ner_spark.dedup"
+    ):
+        minhash_dedup(docs, 0.7).count()
+    quiet = [r for r in caplog.records if "no band bucket" in r.message]
+    assert quiet and quiet[0].levelno == logging.INFO
+
+
+def test_embedding_star_audit_logged(spark, caplog):
+    import logging
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_neardup_clusters,
+    )
+
+    rng = random.Random(13)
+    dup = [float(rng.gauss(0, 1)) for _ in range(64)]
+    emb = spark.createDataFrame(
+        [(i, dup, 0) for i in range(100, 200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with caplog.at_level(
+        logging.INFO, logger="portuguese_pt_legal_ner_spark.dedup"
+    ):
+        embedding_neardup_clusters(emb, threshold=0.95, max_bucket_size=10).count()
+    assert any("star pairs" in r.message for r in caplog.records)
+
+
+def test_star_pairs_vs_clusters_asymmetry(spark):
+    """Pin the star-link contract (round-3 verdict item 7): within an
+    oversized bucket, two NON-min members never appear as an emitted
+    pair in the PAIRS output (only rep-linked star pairs survive
+    blocking), while the CLUSTERS output restores transitive
+    membership through connected components. A refactor that "fixes"
+    either side in the wrong direction breaks this test."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    flood = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical flood document text " * 8).alias("text"),
+    )
+    # monkeypatch-free: the cap is module-level for simhash; use
+    # minhash (parameterized cap) for the clusters side and simhash
+    # via its module constant for the pairs side
+    import portuguese_pt_legal_ner_spark.operators.dedup as D
+
+    old_cap = D.MAX_BAND_BUCKET
+    D.MAX_BAND_BUCKET = 50
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_neardup_pairs(flood, max_hamming=3, n_bands=4).collect()
+        }
+    finally:
+        D.MAX_BAND_BUCKET = old_cap
+    # every emitted pair is rep-linked: doc_a is always the bucket min
+    assert pairs and all(a == 100 for a, _ in pairs)
+    assert (101, 102) not in pairs  # non-min members never pair directly
+    # the CLUSTERS consumer still merges the whole flood transitively
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_dedup(flood, 0.7, max_bucket_size=50).collect()
+    }
+    assert all(clusters[i] == 100 for i in range(100, 400))
