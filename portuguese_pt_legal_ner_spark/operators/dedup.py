@@ -128,27 +128,26 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
 
     n_sh (one long) rides the band exchange so the Jaccard verify
     never has to join doc sizes back on — two fewer exchanges; vector
-    or shingle payloads still never enter the band join."""
-    return sig.select(
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"m_{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "n_sh", "band.band_idx", "band.band_hash")
+    or shingle payloads still never enter the band join. Templated
+    spark.sql, not N_BANDS×6 Column-API calls (the py4j
+    plan-construction tax — see simhash_table)."""
+    structs = ", ".join(
+        "struct({b} AS band_idx, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"m_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return sig.sparkSession.sql(
+        f"""
+        SELECT doc_id, n_sh, band.band_idx, band.band_hash
+        FROM (SELECT doc_id, n_sh, explode(array({structs})) AS band
+              FROM {{sig}})
+        """,
+        sig=sig,
+    )
 
 
 def _cap_buckets(
@@ -508,24 +507,19 @@ def minhash_md5_candidate_pairs(
     rpb = n_hashes // n_bands
     sig = minhash_md5_signature(docs, n_hashes, ngram).persist()
     register(persist_registry, sig)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    structs = ", ".join(
+        "struct({b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash)".format(
+            b=b, cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(n_bands)
+    )
+    bands = sig.sparkSession.sql(
+        f"""
+        SELECT doc_id, band.band_idx, band.band_hash
+        FROM (SELECT doc_id, explode(array({structs})) AS band FROM {{sig}})
+        """,
+        sig=sig,
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (
@@ -600,23 +594,7 @@ def simhash_md5_neardup_pairs(
     register(persist_registry, sh)
     # sim rides the band exchange; pair dedup AFTER the hamming filter
     # (same exchange-count reduction as simhash_neardup_pairs)
-    bands = sh.select(
-        "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("sim"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    bands = _sim_bands_sql(sh, n_bands, width, mask)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
         "band_idx", "band_val",
@@ -635,6 +613,25 @@ def simhash_md5_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _sim_bands_sql(sh: DataFrame, n_bands: int, width: int, mask: int) -> DataFrame:
+    """(doc_id, sim, band_idx, band_val) bit-slice band rows from a
+    (doc_id, sim) table — templated spark.sql (py4j tax, see
+    simhash_table). The sim word rides the exchange."""
+    structs = ", ".join(
+        f"struct({b} AS band_idx, "
+        f"(shiftright(sim, {b * width}) & {mask}) AS band_val)"
+        for b in range(n_bands)
+    )
+    return sh.sparkSession.sql(
+        f"""
+        SELECT doc_id, sim, band.band_idx, band.band_val
+        FROM (SELECT doc_id, sim, explode(array({structs})) AS band
+              FROM {{sh}})
+        """,
+        sh=sh,
     )
 
 
@@ -755,23 +752,7 @@ def simhash_neardup_pairs(
     # verified survivors instead of the full candidate list (measured:
     # the dedup-then-join-twice shape spent 2 of dedup_simhash's 3
     # post-signature seconds on those three exchanges at sf0.1)
-    bands = sh.select(
-        "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("sim"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "sim", "band.band_idx", "band.band_val")
+    bands = _sim_bands_sql(sh, n_bands, width, mask)
     # oversized buckets → star pairs vs the bucket min (kept linked at
     # linear cost, never quadratic); small buckets → self-join. Inlined
     # _split_oversized keeping sim attached to both pair sides.
@@ -876,22 +857,18 @@ def embedding_neardup_clusters(
     )
     # slim band join (vec_id + band only — same shape as the minhash
     # blocker); embeddings re-attach to SURVIVING candidate pairs only
-    bands = sk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        F.shiftright(F.col("_sk"), bi * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "band.band_idx", "band.band_val")
+    structs = ", ".join(
+        f"struct({bi} AS band_idx, "
+        f"(shiftright(_sk, {bi * bits_per_band}) & {mask}) AS band_val)"
+        for bi in range(n_bands)
+    )
+    bands = sk.sparkSession.sql(
+        f"""
+        SELECT vec_id, band.band_idx, band.band_val
+        FROM (SELECT vec_id, explode(array({structs})) AS band FROM {{sk}})
+        """,
+        sk=sk,
+    )
     bands, star = _split_oversized(
         bands, ["band_idx", "band_val"], "vec_id", max_bucket_size
     )

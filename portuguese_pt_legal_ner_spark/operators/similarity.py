@@ -215,26 +215,23 @@ def _srp_bands(
     df: DataFrame, id_col: str, vec_col: str, n_bands: int, seed: int
 ) -> DataFrame:
     """(id, band_idx, band_val) — the slim SRP band spine; no vector
-    payload ever enters the band exchange."""
+    payload ever enters the band exchange. Templated spark.sql (the
+    py4j plan-construction tax — see dedup.simhash_table)."""
     bits_per_band = N_PLANES // n_bands
     mask = (1 << bits_per_band) - 1
     sk = df.withColumn("_sk", srp_sketch_pandas(F.col(vec_col), seed))
-    return sk.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("_sk"), b * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_val")
+    structs = ", ".join(
+        f"struct({b} AS band_idx, "
+        f"(shiftright(_sk, {b * bits_per_band}) & {mask}) AS band_val)"
+        for b in range(n_bands)
+    )
+    return sk.sparkSession.sql(
+        f"""
+        SELECT {id_col}, band.band_idx, band.band_val
+        FROM (SELECT {id_col}, explode(array({structs})) AS band FROM {{sk}})
+        """,
+        sk=sk,
+    )
 
 
 def srp_oversized_buckets(
@@ -469,11 +466,32 @@ class IVFIndex:
     round-2 verdict item 4: an index rebuilt per probe isn't an index
     (the per-call Lloyd retrain was ~5 s of ann_ivf_topk's 7.4 s).
     save()/load_ivf_index() round-trip it through parquet so a
-    separate probe job (or a later session) reuses the build."""
+    separate probe job (or a later session) reuses the build.
 
-    def __init__(self, centroids: list[list[float]], cells: DataFrame):
+    `n_vectors` is the indexed row count recorded at build — the
+    staleness fingerprint: an index answers for the snapshot it was
+    built from, and rows appended to the source afterwards are
+    silently unreachable through it. `is_stale(current)` compares, and
+    ivf_probe warns when handed the live table (round-3 verdict item
+    10). A richer snapshot id (Iceberg snapshot, Delta version) slots
+    into the same field on a real lakehouse."""
+
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        cells: DataFrame,
+        n_vectors: int | None = None,
+    ):
         self.centroids = centroids
         self.cells = cells
+        self.n_vectors = n_vectors
+
+    def is_stale(self, current: DataFrame) -> bool:
+        """True when the live table's row count no longer matches the
+        count recorded at build (unknown build count → not provable)."""
+        if self.n_vectors is None:
+            return False
+        return current.count() != self.n_vectors
 
     def save(self, path: str) -> None:
         spark = self.cells.sparkSession
@@ -482,6 +500,9 @@ class IVFIndex:
             "cell int, centroid array<double>",  # double: exact round-trip
         ).write.mode("overwrite").parquet(f"{path}/centroids")
         self.cells.write.mode("overwrite").parquet(f"{path}/cells")
+        spark.createDataFrame(
+            [(self.n_vectors,)], "n_vectors long"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     def unpersist(self) -> None:
         self.cells.unpersist()
@@ -490,7 +511,14 @@ class IVFIndex:
 def load_ivf_index(spark, path: str) -> IVFIndex:
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [[float(x) for x in r["centroid"]] for r in rows]
-    return IVFIndex(cents, spark.read.parquet(f"{path}/cells").persist())
+    n_vectors = None
+    try:
+        n_vectors = spark.read.parquet(f"{path}/meta").collect()[0]["n_vectors"]
+    except Exception:  # noqa: BLE001 — pre-meta index layout; stays unknown
+        pass
+    return IVFIndex(
+        cents, spark.read.parquet(f"{path}/cells").persist(), n_vectors
+    )
 
 
 def ivf_index(
@@ -517,18 +545,40 @@ def ivf_index(
         F.col("embedding").alias("ce"),
         _nearest_cell(F.col("embedding"), cents).alias("cell"),
     )
+    n_vectors = None
     if persist:
         cells = cells.persist()
-    return IVFIndex(cents, cells)
+        # materializing the persist doubles as the staleness
+        # fingerprint — the count is free once the cache fills
+        n_vectors = cells.count()
+    return IVFIndex(cents, cells, n_vectors)
 
 
 def ivf_probe(
-    index: IVFIndex, queries: DataFrame, k: int = 10, nprobe: int = 2
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    current: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a built index: route each query to its `nprobe` nearest
     coarse cells (closure-captured centroid matmul — plan shape, and
     therefore generated code, independent of the index), exact-search
-    only those cells (probe cost ≈ nprobe/n_cells of brute force)."""
+    only those cells (probe cost ≈ nprobe/n_cells of brute force).
+
+    Pass `current` (the live embeddings table) to staleness-check the
+    index before probing: rows appended since the build are invisible
+    to the probe, so a drifted index logs a WARNING telling the
+    caller to rebuild (round-3 verdict item 10)."""
+    if current is not None and index.is_stale(current):
+        import logging  # noqa: PLC0415
+
+        logging.getLogger("portuguese_pt_legal_ner_spark.similarity").warning(
+            "ivf_probe: index is stale (built over %s vectors, source now "
+            "differs) — appended rows are unreachable; rebuild with "
+            "ivf_index()",
+            index.n_vectors,
+        )
     probed = (
         queries.select(
             "qid", "qe",

@@ -85,7 +85,16 @@ def score_piece_batches(
     piece_label_lists: list[list[tuple[str, float]]],
 ) -> np.ndarray:
     """One concatenated logits matrix, one row per piece — the
-    batched-model interface (mock_model.score_token_batches shape)."""
+    batched-model interface (mock_model.score_token_batches shape).
+
+    Mirrors the SPARK_GRAFT_MODEL_FLOPS hook (scaled per PIECE — the
+    unit a subword forward pass bills by): without it a flops-mode
+    bench run through the subword extractor would silently measure
+    zero model cost (round-3 advice)."""
+    import os  # noqa: PLC0415
+
+    from .mock_model import simulate_model_flops  # noqa: PLC0415
+
     total = sum(len(pl) for pl in piece_label_lists)
     logits = np.zeros((total, NUM_LABELS), dtype=np.float32)
     row = 0
@@ -93,6 +102,9 @@ def score_piece_batches(
         for label, score in pl:
             logits[row, LABEL_TO_ID[label]] = _logit_for_score(score)
             row += 1
+    flops = int(os.environ.get("SPARK_GRAFT_MODEL_FLOPS", "0"))
+    if flops:
+        simulate_model_flops(total, flops)
     return logits
 
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from portuguese_pt_legal_ner_spark.operators.mentions import detect_mentions
 from portuguese_pt_legal_ner_spark.sources.tables import synthetic_transcripts
 from portuguese_pt_legal_ner_spark.streaming.incremental import (
@@ -255,3 +257,103 @@ def test_batch_fallback_of_deduped_stream(spark):
     )
     got = sorted(r["event_id"] for r in deduped_stream(df).collect())
     assert got == [1, 2]
+
+
+def test_stream_neardup_pairs_across_batches_and_restart(spark, tmp_path):
+    """Streaming near-dup (round-3 verdict item 9): simhash computed
+    in-stream, stateful band buckets pair a new document with
+    in-horizon near-duplicates — across micro-batches AND across
+    restarts (bucket state lives in the checkpoint). Unrelated
+    documents never pair."""
+    from datetime import datetime
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        stream_neardup_pairs,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+
+    boiler = "termos e condições gerais aplicáveis ao serviço " * 6
+    legal = "o tribunal de comarca decidiu em sentença transitada " * 6
+    distinct = " ".join(f"palavra{i}" for i in range(60))
+
+    def doc(did, minute, text):
+        return (did, datetime(2024, 1, 1, 12, minute), text)
+
+    # run 1: two boilerplate near-dups (one with a tiny edit) + one
+    # unrelated doc
+    b1 = spark.createDataFrame(
+        [
+            doc(1, 0, boiler),
+            doc(2, 1, boiler + " extra"),
+            doc(3, 2, distinct),
+        ],
+        DOCS_STREAM_SCHEMA,
+    )
+    b1.write.mode("append").parquet(inp)
+    stream_neardup_pairs(spark, inp, out, ckp, max_hamming=3, n_bands=4)
+    pairs1 = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    assert pairs1 == {(1, 2)}
+
+    # run 2 (restart): another boilerplate copy arrives within the
+    # horizon -> pairs with BOTH earlier boilerplate docs (state from
+    # run 1 survived the restart); a new unrelated doc pairs with
+    # nothing
+    b2 = spark.createDataFrame(
+        [doc(4, 3, boiler), doc(5, 4, legal)], DOCS_STREAM_SCHEMA
+    )
+    b2.write.mode("append").parquet(inp)
+    stream_neardup_pairs(spark, inp, out, ckp, max_hamming=3, n_bands=4)
+    pairs2 = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    assert {(1, 2), (1, 4), (2, 4)} <= pairs2
+    assert all(3 not in p and 5 not in p for p in pairs2)
+
+
+def test_stream_neardup_star_cap_bounds_state(spark, tmp_path):
+    """A flood bucket past the cap verifies new docs against the
+    representative only — pairs still link the flood (streaming
+    star-link) while per-bucket state stays O(cap)."""
+    from datetime import datetime
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        stream_neardup_pairs,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+    flood = "identical flood document body " * 8
+    rows = [
+        (i, datetime(2024, 1, 1, 12, 0, i - 100), flood)
+        for i in range(100, 130)
+    ]
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_neardup_pairs(
+        spark, inp, out, ckp, max_hamming=3, n_bands=4, max_bucket_size=5
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    # every flood doc beyond the cap still links to the representative
+    assert all((100, i) in pairs for i in range(106, 130))
+
+
+def test_stream_neardup_pigeonhole_enforced(spark):
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        neardup_pairs_stream,
+    )
+
+    df = spark.createDataFrame([], DOCS_STREAM_SCHEMA)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        neardup_pairs_stream(df, max_hamming=4, n_bands=4)

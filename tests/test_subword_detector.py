@@ -72,3 +72,22 @@ def test_detect_mentions_subword_backend_end_to_end(spark):
         detect_mentions(t, extractor=extract_entities_scored_batch_subword)
     )
     assert base and sub == base
+
+
+def test_flops_hook_does_not_change_outputs(monkeypatch):
+    """SPARK_GRAFT_MODEL_FLOPS in the subword scorer (round-3 advice:
+    the hook previously lived only in the word-path mock, so
+    flops-mode bench runs through the subword extractor measured zero
+    model cost) — simulated arithmetic must not perturb logits."""
+    import numpy as np
+
+    from portuguese_pt_legal_ner_spark.subword_mock import (
+        _pieces_with_labels,
+        score_piece_batches,
+    )
+
+    _, labels = _pieces_with_labels("João Silva mora em Lisboa", 512)
+    base = score_piece_batches([labels])
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_FLOPS", "2")
+    with_flops = score_piece_batches([labels])
+    assert np.array_equal(base, with_flops)
