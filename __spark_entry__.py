@@ -941,6 +941,118 @@ _DEDUP_MINHASH_MD5_PAIRS_SQL = (
 )
 
 
+def _q_dedup_minhash_md5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL minhash clustering path, SQL-value-checked end to end:
+    md5 signature → banded blocking → exact string-gram Jaccard verify
+    → connected components → numeric-min cluster representative. The
+    DuckDB oracle replays the components with a recursive
+    transitive-closure CTE — this upgrades the clustering family from
+    rows-only to hash-checked (the xxhash64 `dedup_minhash` remains
+    the production path)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import minhash_md5_dedup  # noqa: PLC0415
+
+    return minhash_md5_dedup(
+        _load(spark, sf_dir, "documents"), threshold=0.6, n_hashes=8, n_bands=4
+    )
+
+
+_DEDUP_MINHASH_MD5_CLUSTERS_SQL = (
+    _MH_SHINGLES_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + ", s AS (\n  SELECT doc_id,\n"
+    + ",\n".join(
+        f"    list_min(list_transform(sh, g -> md5('{i}' || ':' || g))) AS mh_{i}"
+        for i in range(8)
+    )
+    + "\n  FROM t\n), bands AS (\n"
+    + "  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx,"
+        f" md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM s\n"
+        for b in range(4)
+    )
+    + """),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+tg AS (SELECT doc_id, unnest(sh) AS g FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tg GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN tg ga ON ga.doc_id = c.doc_a
+  JOIN tg gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= 0.6
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION ALL SELECT doc_b, doc_a FROM ver
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)"""
+)
+
+
+def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix sampling (~12.5%) — reproducible
+    training-data subsetting: the selector is a pure function of the
+    row key, so retries, re-runs, and other engines pick the SAME
+    rows (sampling analog of the md5 dedup oracles)."""
+    from portuguese_pt_legal_ner_spark.operators.sampling import hash_sample  # noqa: PLC0415
+
+    return hash_sample(_load(spark, sf_dir, "documents"), "doc_id", 0.125).select(
+        "doc_id"
+    )
+
+
+_DOC_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+"""
+
+
+def _q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: shard-partitioned running token
+    count assigns each document to a 2048-token bin (context-window
+    filling for training). Per-shard windows keep the plan
+    partitioned — a global ORDER BY window would serialize 100 TB
+    through one task."""
+    from portuguese_pt_legal_ner_spark.operators.sampling import pack_token_bins  # noqa: PLC0415
+
+    return pack_token_bins(
+        _load(spark, sf_dir, "documents"), budget=2048, shards=16
+    )
+
+
+_DOC_PACK_BINS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         doc_id % 16 AS shard,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 1000000 + CAST(floor(
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+          - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM tok
+"""
+
+
 def _q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-simhash signatures — engine-neutral (bit i = token majority
     of the low bit of md5 hex digit i), giving the simhash machinery a
@@ -1240,6 +1352,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
+        "dedup_minhash_md5_clusters": _q_dedup_minhash_md5_clusters,
+        "doc_sample": _q_doc_sample,
+        "doc_pack_bins": _q_doc_pack_bins,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "dedup_simhash": _q_dedup_simhash,
@@ -1282,6 +1397,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_md5": _DEDUP_MINHASH_MD5_SQL,
         "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
+        "dedup_minhash_md5_clusters": _DEDUP_MINHASH_MD5_CLUSTERS_SQL,
+        "doc_sample": _DOC_SAMPLE_SQL,
+        "doc_pack_bins": _DOC_PACK_BINS_SQL,
         "dedup_simhash_md5": _DEDUP_SIMHASH_MD5_SQL,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,

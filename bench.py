@@ -121,6 +121,9 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash",
         "dedup_minhash_md5_pairs",
+        "dedup_minhash_md5_clusters",
+        "doc_sample",
+        "doc_pack_bins",
         "dedup_simhash",
         "ngram_jaccard",
         "dedup_embedding",

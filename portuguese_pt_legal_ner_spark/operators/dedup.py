@@ -530,6 +530,76 @@ def minhash_md5_candidate_pairs(
     )
 
 
+def minhash_md5_dedup(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster_id) — the FULL minhash clustering path in
+    engine-neutral arithmetic, so the whole chain (signature → banded
+    blocking → exact-Jaccard verify → connected components →
+    numeric-min representative) carries a cross-engine SQL oracle:
+    DuckDB replays the blocking with md5 and the components with a
+    recursive transitive-closure CTE. The xxhash64 `minhash_dedup` is
+    the production path (cheaper hashes, size-riding exchanges,
+    bucket caps); THIS variant upgrades the clustering family from
+    rows-only to value-checked.
+
+    The Jaccard verify joins candidate pairs to the gram lists on the
+    gram STRING (no hash) — bit-identical in both engines; grams per
+    doc are distinct by construction (word_ngrams), so a plain count
+    is the intersection size."""
+    registry: list[DataFrame] = []
+    cand = minhash_md5_candidate_pairs(
+        docs, n_hashes, n_bands, ngram, persist_registry=registry
+    )
+    grams = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    ).persist()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_sh").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("_nb")), "doc_b")
+        .filter(
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            >= threshold
+        )
+        .select(
+            _pad_id(F.col("doc_a")).alias("doc_a"),
+            _pad_id(F.col("doc_b")).alias("doc_b"),
+        )
+    )
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
+    grams.unpersist()
+    for df in registry:  # the md5 signature candidate_pairs persisted
+        df.unpersist()
+    if n_pairs == 0:
+        return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    comps = _components_for(pairs, n_pairs, None)
+    return (
+        docs.select("doc_id", _pad_id(F.col("doc_id")).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
 _HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 

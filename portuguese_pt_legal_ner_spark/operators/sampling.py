@@ -1,0 +1,72 @@
+"""Deterministic sampling + sequence packing — training-data mixing ops.
+
+A large-scale training-data pipeline needs (a) REPRODUCIBLE sampling
+(the same corpus snapshot + the same config must yield the same
+sample on any cluster, under task retry, and across engines — so the
+selector is a pure function of the row key, never an RNG state), and
+(b) sequence packing (assigning documents to fixed token-budget bins
+for context-window filling).
+
+Both are pure column expressions (codegen, engine-neutral), and both
+carry DuckDB SQL oracles in `__spark_entry__`:
+
+  * hash_sample — keep a row iff the first two hex chars of
+    md5(key) fall below a threshold: fraction granularity 1/256,
+    deterministic, uniformly spread in key space, and identical in
+    any engine with md5 (sampling by md5-prefix is the cross-engine
+    twin of xxhash-threshold sampling, exactly as the dedup module
+    pairs md5 oracles with xxhash64 production paths);
+  * pack_token_bins — shard by key hash, order by key within the
+    shard, then bin by the running token count: the standard
+    streaming-pack approximation (a document lands in the bin its
+    preceding cumulative sum occupies, so a bin can overflow by at
+    most one document). Sharding keeps the window partitioned — a
+    global ORDER BY window would serialize the corpus through one
+    task at 100 TB; per-shard packing is what a real pipeline does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(
+    df: DataFrame, key: str | Column, fraction: float
+) -> DataFrame:
+    """Deterministic ~`fraction` sample keyed on md5(key); granularity
+    1/256 (two hex chars). fraction ≥ 1 returns df unchanged."""
+    if fraction >= 1.0:
+        return df
+    cut = max(0, min(256, round(fraction * 256)))
+    threshold = format(cut, "02x")
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.filter(
+        F.substring(F.md5(key_col.cast("string")), 1, 2) < F.lit(threshold)
+    )
+
+
+def pack_token_bins(
+    docs: DataFrame,
+    budget: int = 2048,
+    shards: int = 16,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, bin_id): whitespace token counts
+    packed into `budget`-token bins per shard. bin_id is globally
+    unique (shard-qualified). Deterministic: shard = pmod(key, shards)
+    and in-shard order is the key itself."""
+    # long, not int: the DuckDB oracle's len() is BIGINT and the
+    # driver's schema check compares dtypes
+    toks = F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("long")
+    shard = F.pmod(F.col(key), F.lit(shards))
+    w = Window.partitionBy(shard).orderBy(key)
+    cum = F.sum(toks).over(w)
+    local_bin = F.floor((cum - toks) / F.lit(budget))
+    return docs.select(
+        F.col(key).alias("doc_id"),
+        shard.alias("shard"),
+        toks.alias("n_tokens"),
+        (shard * F.lit(1_000_000) + local_bin).alias("bin_id"),
+    )
