@@ -658,6 +658,63 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(_load(spark, sf_dir, "events"), window="1 day")
 
 
+def _q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily windows computed BY THE STREAMING ENGINE — a
+    real readStream → watermark → windowed agg → append-sink run
+    (Trigger.AvailableNow), read back from the sink. The oracle is the
+    batch SQL restricted to FINALIZED windows (win_end ≤ max event
+    time): append mode emits a window only once the watermark passes
+    its end, so the value-hash checks the streaming finalization
+    contract itself, not just a shared plan shape."""
+    import tempfile  # noqa: PLC0415
+
+    from portuguese_pt_legal_ner_spark.streaming.windowed import (  # noqa: PLC0415
+        EVENTS_STREAM_SCHEMA,
+        windowed_counts,
+    )
+
+    import os  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="sg_stream_win_")
+    out, ckp, inp = f"{base}/out", f"{base}/ckp", f"{base}/in"
+    # the file-stream source requires a DIRECTORY; the sf tables are
+    # single parquet files — symlink into a private input dir
+    os.makedirs(inp)
+    os.symlink(f"{sf_dir}/events.parquet", f"{inp}/events.parquet")
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(inp)
+    # the state-store partition count is fixed at checkpoint creation
+    # from shuffle.partitions; 32 HDFS-backed stores for a bench-scale
+    # window agg is pure fixed cost (one store dir + commit per
+    # partition per microbatch) — scope it down for this fresh stream
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            windowed_counts(stream, window="1 day", delay="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckp)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
+_STREAM_EVENTS_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS win_end,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+HAVING win_end <= (SELECT max(ts) FROM events)
+"""
+
+
 _EVENTS_WINDOWED_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
        CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS win_end,
@@ -1025,6 +1082,59 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
 """
 
 
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling: src0 at 50%, src1 at 12.5%,
+    everything else dropped — the per-row keep decision is a pure
+    function of (doc_id, config)."""
+    from portuguese_pt_legal_ner_spark.operators.sampling import stratified_sample  # noqa: PLC0415
+
+    return stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        key="doc_id",
+        strata="source",
+        fractions={"src0": 0.5, "src1": 0.125},
+        default=0.0,
+    ).select("doc_id", "source")
+
+
+_DOC_STRATIFIED_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE source WHEN 'src0' THEN '80' WHEN 'src1' THEN '20' ELSE '00' END
+"""
+
+
+def _q_doc_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture weighting (the LLM-data curation op):
+    src0 replicated 2.5× in expectation (2 copies + a keyed 50% coin
+    for the third), src1 kept at 1×, src2 downsampled to 25%, other
+    sources dropped. copy_idx keeps replicas distinguishable."""
+    from portuguese_pt_legal_ner_spark.operators.sampling import weighted_upsample  # noqa: PLC0415
+
+    return weighted_upsample(
+        _load(spark, sf_dir, "documents"),
+        key="doc_id",
+        strata="source",
+        weights={"src0": 2.5, "src1": 1.0, "src2": 0.25},
+        default=0.0,
+    ).select("doc_id", "source", "copy_idx")
+
+
+_DOC_MIXTURE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+         + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || 'x'), 1, 2)
+                     < CASE source WHEN 'src0' THEN '80'
+                                   WHEN 'src2' THEN '40' ELSE '00' END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INTEGER) AS copy_idx
+FROM w WHERE n_copies > 0
+"""
+
+
 def _q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: shard-partitioned running token
     count assigns each document to a 2048-token bin (context-window
@@ -1338,6 +1448,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
         "events_windowed": _q_events_windowed,
+        "stream_events_windowed": _q_stream_events_windowed,
         "events_inheritance": _q_events_inheritance,
         "events_json_props": _q_events_json_props,
         "doc_token_stats": _q_doc_token_stats,
@@ -1354,6 +1465,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
         "dedup_minhash_md5_clusters": _q_dedup_minhash_md5_clusters,
         "doc_sample": _q_doc_sample,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_mixture_upsample": _q_doc_mixture_upsample,
         "doc_pack_bins": _q_doc_pack_bins,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
@@ -1384,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,
+        "stream_events_windowed": _STREAM_EVENTS_WINDOWED_SQL,
         "events_inheritance": _EVENTS_INHERITANCE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "doc_token_stats": _DOC_TOKEN_SQL,
@@ -1399,6 +1513,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
         "dedup_minhash_md5_clusters": _DEDUP_MINHASH_MD5_CLUSTERS_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
+        "doc_stratified_sample": _DOC_STRATIFIED_SQL,
+        "doc_mixture_upsample": _DOC_MIXTURE_SQL,
         "doc_pack_bins": _DOC_PACK_BINS_SQL,
         "dedup_simhash_md5": _DEDUP_SIMHASH_MD5_SQL,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,

@@ -123,7 +123,10 @@ def main() -> None:
         "dedup_minhash_md5_pairs",
         "dedup_minhash_md5_clusters",
         "doc_sample",
+        "doc_stratified_sample",
+        "doc_mixture_upsample",
         "doc_pack_bins",
+        "stream_events_windowed",
         "dedup_simhash",
         "ngram_jaccard",
         "dedup_embedding",

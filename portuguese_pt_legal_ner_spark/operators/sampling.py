@@ -46,6 +46,76 @@ def hash_sample(
     )
 
 
+def _hex_cut(fraction: float) -> str:
+    """2-char hex threshold for `substring(md5(..), 1, 2) < cut`.
+    fraction ≥ 1 returns 'zz' — lexicographically above every hex
+    prefix, so the filter keeps ALL rows (format(256) would be the
+    3-char '100', which sorts BELOW most 2-char prefixes)."""
+    cut = max(0, min(256, round(fraction * 256)))
+    return "zz" if cut >= 256 else format(cut, "02x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own md5-prefix threshold (granularity 1/256); strata not listed
+    fall back to `default`. The per-row decision stays a pure function
+    of (key, stratum config) — reproducible across runs, retries, and
+    engines."""
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    cut = F.lit(_hex_cut(default))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(F.col(strata) == value, F.lit(_hex_cut(frac))).otherwise(cut)
+    return df.filter(prefix < cut)
+
+
+def weighted_upsample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture weighting: replicate each row
+    floor(w) times plus one more with probability frac(w) — decided by
+    an independent md5 prefix of the key, so the expected multiplicity
+    is exactly w and the realized multiset is a pure function of
+    (key, weights). Rows in weight-0 strata drop out. Output adds
+    `copy_idx` (0-based) so downstream shuffles keep copies
+    distinguishable. This is the core LLM-data "mixture weights" op
+    (upsample high-quality sources, downsample boilerplate) in a
+    retry-safe, engine-neutral form."""
+    import math  # noqa: PLC0415
+
+    floor_w = F.lit(int(default))
+    cut = F.lit(_hex_cut(default - math.floor(default)))
+    for value, w in sorted(weights.items()):
+        floor_w = F.when(F.col(strata) == value, F.lit(math.floor(w))).otherwise(
+            floor_w
+        )
+        cut = F.when(
+            F.col(strata) == value, F.lit(_hex_cut(w - math.floor(w)))
+        ).otherwise(cut)
+    # independent salt (':x') so the extra-copy coin is uncorrelated
+    # with any plain hash_sample() over the same key
+    extra = (
+        F.substring(F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit("x"))), 1, 2)
+        < cut
+    ).cast("int")
+    n_copies = (floor_w + extra).alias("_n")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
 def pack_token_bins(
     docs: DataFrame,
     budget: int = 2048,

@@ -76,3 +76,55 @@ def test_minhash_md5_dedup_clusters_planted(spark):
     assert clusters[2] == clusters[9] == 2  # numeric min, not "10"
     assert clusters[10] == 2
     assert clusters[40] == 40
+
+
+def test_stratified_sample_respects_strata(spark, docs):
+    from portuguese_pt_legal_ner_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    out = stratified_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.25}, default=0.0
+    ).collect()
+    assert out and all(r["source"] in ("src0", "src1") for r in out)
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert sum(1 for r in out if r["source"] == "src0") == n_src0  # 1.0 keeps all
+    # a stratum's sample uses the SAME key hash as hash_sample -> the
+    # src1 rows are exactly hash_sample(src1 subset)
+    src1 = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.filter(F.col("source") == "src1"), "doc_id", 0.25
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out if r["source"] == "src1"} == src1
+
+
+def test_weighted_upsample_multiplicities(spark, docs):
+    from portuguese_pt_legal_ner_spark.operators.sampling import weighted_upsample
+
+    out = weighted_upsample(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 0.5}, default=0.0
+    ).collect()
+    copies: dict = {}
+    for r in out:
+        copies.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    src0_ids = {r["doc_id"] for r in docs.filter(F.col("source") == "src0").collect()}
+    # integral weight: exactly 3 copies each, copy_idx 0..2
+    for did in src0_ids:
+        assert sorted(copies[did]) == [0, 1, 2]
+    # fractional weight 0.5: each src1 doc appears 0 or 1 times
+    src1_ids = {r["doc_id"] for r in docs.filter(F.col("source") == "src1").collect()}
+    for did in src1_ids & set(copies):
+        assert copies[did] == [0]
+    # other strata dropped entirely
+    assert set(copies) <= src0_ids | src1_ids
+    # deterministic across runs
+    out2 = weighted_upsample(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 0.5}, default=0.0
+    ).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in out) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in out2
+    )
