@@ -997,6 +997,7 @@ def ngram_jaccard_sparse(
     docs_b: DataFrame,
     ngram: int = 3,
     persist_registry: list[DataFrame] | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted index — the shape that
     scales: explode shingles, equi-join on the shingle, count shared
@@ -1007,7 +1008,18 @@ def ngram_jaccard_sparse(
     below this is an equi-join (no BroadcastNestedLoop) and every
     aggregate is codegen — O(total postings) not O(|A|·|B|). Both
     posting lists are persisted: each feeds the intersection join AND
-    its doc-size aggregate."""
+    its doc-size aggregate.
+
+    `max_doc_freq`: the remaining quadratic hazard is a STOPWORD GRAM
+    — one boilerplate trigram present in m docs contributes m²/2 join
+    rows (the posting-list analog of an oversized LSH bucket). With a
+    cap, grams whose b-side document frequency exceeds it are dropped
+    from the INTERSECTION join only; sizes keep counting them, so the
+    reported jaccard becomes a LOWER BOUND for pairs sharing dropped
+    grams (the standard frequent-shingle trade in dedup practice, and
+    still exact for pairs sharing none). Audit the dropped grams with
+    frequent_grams(). Off (None) by default: the SQL-oracled entry
+    query keeps exact semantics."""
     ga = docs_a.select(
         F.col("doc_id").alias("doc_a"),
         F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
@@ -1017,8 +1029,17 @@ def ngram_jaccard_sparse(
         F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
     ).persist()
     register(persist_registry, ga, gb)
+    ja, jb = ga, gb
+    if max_doc_freq:
+        # same keys as the intersection join -> the exchange is reused
+        dfreq = gb.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        jb = (
+            gb.join(dfreq, "g")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     inter = (
-        ga.join(gb, "g")
+        ja.join(jb, "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -1037,6 +1058,21 @@ def ngram_jaccard_sparse(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def frequent_grams(
+    docs: DataFrame, ngram: int = 3, max_doc_freq: int = 1000
+) -> DataFrame:
+    """Audit view for ngram_jaccard_sparse's max_doc_freq cap —
+    (g, n_docs) for grams above the cap (no-silent-caps rule)."""
+    g = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    )
+    return (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_doc_freq)
     )
 
 

@@ -446,3 +446,37 @@ def test_star_pairs_vs_clusters_asymmetry(spark):
         for r in minhash_dedup(flood, 0.7, max_bucket_size=50).collect()
     }
     assert all(clusters[i] == 100 for i in range(100, 400))
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """A stopword gram shared by every doc is the posting-list analog
+    of an oversized LSH bucket: the cap drops it from the intersection
+    join (jaccard becomes a lower bound for pairs sharing it), the
+    audit view surfaces it, and pairs sharing no dropped gram are
+    untouched."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        frequent_grams,
+        ngram_jaccard_sparse,
+    )
+
+    boiler = "termos gerais aplicam "  # one shared trigram everywhere
+    rows = [(i, boiler + f"corpo unico {i} fim") for i in range(20)]
+    rows += [(100, boiler + "corpo unico 0 fim")]  # dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_sparse(docs, docs, max_doc_freq=5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_sparse(docs, docs).collect()
+    }
+    # the true near-dup pair survives the cap with high jaccard
+    assert capped[(0, 100)] == exact[(0, 100)] == 1.0
+    # capped jaccard never exceeds exact (lower-bound contract)
+    assert all(capped[k] <= exact[k] for k in capped)
+    # boilerplate-only pairs drop out entirely under the cap
+    assert len(capped) < len(exact)
+    # audit view surfaces the dropped grams
+    freq = {r["g"]: r["n_docs"] for r in frequent_grams(docs, max_doc_freq=5).collect()}
+    assert any(n == 21 for n in freq.values())

@@ -103,3 +103,33 @@ def test_entityless_paragraphs_present_in_records(spark):
     records = prediction_records(t, detect_mentions(t))
     empty = records.filter("size(labels) = 0").count()
     assert empty > 0  # reference keeps them (src/inference.py:124-127)
+
+
+def test_jsonl_source_quarantines_malformed(spark, tmp_path):
+    """JSONL document source: declared schema, malformed lines land in
+    quarantine instead of silently nulling out (the source-boundary
+    form of the reference's per-paragraph error guard)."""
+    from portuguese_pt_legal_ner_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "bom dia", "lang": "pt", "source": "s0"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "boa tarde", "lang": "pt", "source": "s1"}\n'
+        '{"doc_id": 3, "text": "ola", "lang":\n'
+    )
+    good, quarantined = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "bom dia", 2: "boa tarde"}
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert "this is not json at all" in bad[0] or "this is not json at all" in bad
+    # round-trip through the sink stays parseable
+    out = tmp_path / "out"
+    write_documents_jsonl(good, str(out))
+    good2, quarantined2 = read_documents_jsonl(spark, str(out))
+    assert {r["doc_id"] for r in good2.collect()} == {1, 2}
+    assert quarantined2.count() == 0
