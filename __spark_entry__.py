@@ -16,7 +16,7 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -870,6 +870,126 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
 """
 
 
+def _q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a filtered join condition
+    + two-level aggregation — customers with ZERO matching orders must
+    survive into the c_count=0 bucket (the zero-group contract an
+    inner join silently violates)."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — per line status,
+    split shipped lines into high-priority (URGENT/HIGH orders) vs
+    low-priority counts with CASE inside the aggregate."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def _q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window coverage: customers bucketed into revenue
+    quartiles WITHIN their market segment; output is the per-(segment,
+    quartile) revenue sum. Deterministic: the ntile ordering
+    tie-breaks on c_custkey."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    rev = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "inner"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("quartile_revenue"),
+        )
+    )
+
+
+_CUSTOMER_QUARTILES_SQL = """
+WITH rev AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment
+),
+q AS (
+  SELECT c_mktsegment, revenue,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY revenue DESC, c_custkey) AS quartile
+  FROM rev
+)
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       CAST(round(sum(CAST(revenue AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS quartile_revenue
+FROM q
+GROUP BY c_mktsegment, quartile
+"""
+
+
 def _q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a skewed key (the SURVEY §2.7
     skew tactic), oracle-checked against the plain GROUP BY — salting
@@ -1445,6 +1565,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q_q14_promo_revenue,
         "q17_small_quantity": _q_q17_small_quantity,
         "parts_never_ordered": _q_parts_never_ordered,
+        "q13_order_distribution": _q_q13_order_distribution,
+        "q12_priority_shipping": _q_q12_priority_shipping,
+        "customer_value_quartiles": _q_customer_value_quartiles,
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
         "events_windowed": _q_events_windowed,
@@ -1494,6 +1617,9 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_SQL,
         "q17_small_quantity": _Q17_SQL,
         "parts_never_ordered": _PARTS_NEVER_SQL,
+        "q13_order_distribution": _Q13_SQL,
+        "q12_priority_shipping": _Q12_SQL,
+        "customer_value_quartiles": _CUSTOMER_QUARTILES_SQL,
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,

@@ -109,6 +109,9 @@ def main() -> None:
         "q6_forecast_revenue",
         "q14_promo_revenue",
         "q17_small_quantity",
+        "q13_order_distribution",
+        "q12_priority_shipping",
+        "customer_value_quartiles",
         "events_daily",
         "events_sessions",
         "events_windowed",
