@@ -413,6 +413,55 @@ HAVING count(*) >= 50
 """
 
 
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: daily event counts as one COLUMN per event type
+    (explicit value list — an inferred pivot would scan twice and bake
+    in whatever values the data happened to contain)."""
+    events = _load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile coverage: per-language p50/p90/p99 of document
+    length (linear interpolation — Spark `percentile` and DuckDB
+    `quantile_cont` share percentile_cont semantics). The approximate
+    sketch form (approx_percentile/KLL) is the 100-TB path; the exact
+    form carries the cross-engine check."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+    )
+
+
+_DOC_QUANTILES_SQL = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per (type, day) counts + value stats."""
     ev = _load(spark, sf_dir, "events")
@@ -1570,6 +1619,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_quartiles": _q_customer_value_quartiles,
         "salted_event_totals": _q_salted_event_totals,
         "events_daily": _q_events_daily,
+        "events_pivot": _q_events_pivot,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "events_windowed": _q_events_windowed,
         "stream_events_windowed": _q_stream_events_windowed,
         "events_inheritance": _q_events_inheritance,
@@ -1622,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_quartiles": _CUSTOMER_QUARTILES_SQL,
         "salted_event_totals": _SALTED_EVENTS_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "events_pivot": _EVENTS_PIVOT_SQL,
+        "doc_length_quantiles": _DOC_QUANTILES_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,
         "stream_events_windowed": _STREAM_EVENTS_WINDOWED_SQL,
         "events_inheritance": _EVENTS_INHERITANCE_SQL,

@@ -113,6 +113,8 @@ def main() -> None:
         "q12_priority_shipping",
         "customer_value_quartiles",
         "events_daily",
+        "events_pivot",
+        "doc_length_quantiles",
         "events_sessions",
         "events_windowed",
         "rollup_revenue",
