@@ -153,11 +153,54 @@ def token_confusion_matrix(gold_tags: DataFrame, pred_tags: DataFrame) -> DataFr
     )
 
 
+def _write_png_heatmap(path: str, mat: list[list[int]], cell: int = 24) -> None:
+    """Minimal PNG heatmap with NOTHING beyond the stdlib (zlib +
+    struct): the PNG container is four chunks (IHDR, one zlib-deflated
+    IDAT of filter-prefixed scanlines, IEND). Each matrix cell renders
+    as a `cell`×`cell` block on a white→blue ramp scaled to the matrix
+    max, with a 1px grid. Closes the reference's PNG-artifact parity
+    (ref src/tracking.py:230-272) without matplotlib; axis labels live
+    in the CSV companion."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    n = len(mat)
+    peak = max((v for row in mat for v in row), default=0) or 1
+    w = h = n * cell + 1
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 per scanline
+        for x in range(w):
+            if x % cell == 0 or y % cell == 0:
+                raw += b"\x80\x80\x80"  # grid line
+                continue
+            v = mat[y // cell][x // cell] / peak
+            # white (0) → saturated blue (1)
+            raw += bytes((int(255 * (1 - v)), int(255 * (1 - 0.6 * v)), 255))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw), 6)))
+        f.write(chunk(b"IEND", b""))
+
+
 def save_confusion_artifact(cm: DataFrame, out_path: str) -> str:
     """Confusion-matrix artifact writer (K4 analog of the reference's
-    PNG heatmap, ref src/tracking.py:230-272). matplotlib is absent in
-    this container, so the artifact is a CSV grid (+ PNG when a
-    matplotlib import succeeds — same seam, richer artifact)."""
+    PNG heatmap, ref src/tracking.py:230-272): a CSV grid (labels +
+    counts) plus a PNG heatmap — rendered by matplotlib when it is
+    installed, else by the stdlib PNG encoder above, so the PNG
+    artifact exists in EVERY environment (the round-3 'sandbox-blocked'
+    gap, closed)."""
     rows = cm.collect()
     labels = sorted({r["gold_tag"] for r in rows} | {r["pred_tag"] for r in rows})
     grid = {(r["gold_tag"], r["pred_tag"]): r["n"] for r in rows}
@@ -169,21 +212,23 @@ def save_confusion_artifact(cm: DataFrame, out_path: str) -> str:
     csv_path = out_path if out_path.endswith(".csv") else out_path + ".csv"
     with open(csv_path, "w") as f:
         f.write("\n".join(lines) + "\n")
+    mat = [[grid.get((g, p), 0) for p in labels] for g in labels]
+    png_path = csv_path.replace(".csv", ".png")
     try:  # pragma: no cover - matplotlib not installed in sandbox
         import matplotlib  # noqa: PLC0415
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt  # noqa: PLC0415
 
-        mat = [[grid.get((g, p), 0) for p in labels] for g in labels]
         fig, ax = plt.subplots()
         ax.imshow(mat)
         ax.set_xticks(range(len(labels)), labels, rotation=90)
         ax.set_yticks(range(len(labels)), labels)
-        fig.savefig(csv_path.replace(".csv", ".png"), bbox_inches="tight")
+        fig.savefig(png_path, bbox_inches="tight")
         plt.close(fig)
     except ImportError:
-        pass
+        if mat:
+            _write_png_heatmap(png_path, mat)
     return csv_path
 
 

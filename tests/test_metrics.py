@@ -158,3 +158,48 @@ def test_confusion_artifact_writer(spark, tmp_path):
     assert text[0] == "gold\\pred,B-PER,O"
     assert text[1] == "B-PER,1,0"
     assert text[2] == "O,0,1"
+
+
+def test_confusion_png_written_without_matplotlib(spark, tmp_path):
+    """The PNG artifact exists in every environment: with matplotlib
+    absent (this sandbox) the stdlib encoder writes a structurally
+    valid PNG — signature, IHDR dimensions matching the label grid,
+    decompressible IDAT with one filter byte per scanline."""
+    import struct
+    import zlib
+
+    from portuguese_pt_legal_ner_spark.operators.metrics import (
+        save_confusion_artifact,
+        token_confusion_matrix,
+    )
+
+    schema = ("conv_id string, turn_idx int, para_idx int, "
+              "token_idx int, tag string")
+    tags = spark.createDataFrame(
+        [("c1", 0, 0, 0, "B-PER"), ("c1", 0, 0, 1, "O"),
+         ("c1", 0, 0, 2, "B-LOC")],
+        schema,
+    )
+    pred = spark.createDataFrame(
+        [("c1", 0, 0, 0, "B-PER"), ("c1", 0, 0, 1, "B-LOC"),
+         ("c1", 0, 0, 2, "B-LOC")],
+        schema,
+    )
+    csv_path = save_confusion_artifact(
+        token_confusion_matrix(tags, pred), str(tmp_path / "cm")
+    )
+    png_path = csv_path.replace(".csv", ".png")
+    data = open(png_path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert data[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", data[16:24])
+    n_labels = len(open(csv_path).readline().strip().split(",")) - 1
+    assert w == h == n_labels * 24 + 1
+    # IDAT payload decompresses to h scanlines of 1 filter byte + 3w px
+    idat_off = data.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", data[idat_off - 4 : idat_off])
+    raw = zlib.decompress(data[idat_off + 4 : idat_off + 4 + idat_len])
+    assert len(raw) == h * (1 + 3 * w)
+    assert data.endswith(
+        b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
