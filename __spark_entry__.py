@@ -1548,6 +1548,45 @@ def _q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(_ivf_index_for(spark, sf_dir), q, k=10, nprobe=2)
 
 
+def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup pairing executed BY THE STREAMING ENGINE:
+    documents replayed as an event stream (ts = epoch + doc_id s),
+    in-stream simhash, stateful star-capped band buckets, watermark-
+    bounded state (rows-only: the in-stream hash family is
+    engine-internal; cross-batch/restart semantics are pytest-gated in
+    test_streaming.py)."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (  # noqa: PLC0415
+        stream_neardup_pairs,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg_stream_nd_")
+    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
+    os.makedirs(inp)
+    (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        )
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream_neardup_pairs(
+            spark, inp, out, ckp, max_hamming=3, n_bands=4, delay="365 days",
+            delay_sec=365 * 86400,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).dropDuplicates(["doc_a", "doc_b"])
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthetic assets → Arrow-
     batched feature extraction with the deterministic fake codec
@@ -1652,6 +1691,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": _q_ann_srp_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_probe": _q_ann_ivf_probe,
+        "stream_neardup_pairs": _q_stream_neardup_pairs,
         "multimodal_features": _q_multimodal_features,
     }
 
