@@ -530,6 +530,142 @@ def minhash_md5_candidate_pairs(
     )
 
 
+class MinHashIndex:
+    """Persisted dedup state for INCREMENTAL near-dup assignment: the
+    corpus's band table (doc_id, n_sh, band_idx, band_hash) and its
+    doc→cluster map, both parquet-backed.
+
+    The batch path (minhash_dedup) re-clusters a corpus at rest; a
+    daily crawl increment against a 100-TB corpus must not — the
+    production shape is build-once / assign-increments, exactly like
+    the IVF build/probe split. Gram payloads are NOT stored: the
+    verify between a new doc and its banded candidates re-shingles
+    only the MATCHED corpus docs (a bounded set), keeping the index
+    O(docs × bands) instead of O(total grams)."""
+
+    def __init__(self, bands: DataFrame, clusters: DataFrame):
+        self.bands = bands          # doc_id, n_sh, band_idx, band_hash
+        self.clusters = clusters    # doc_id, cluster_id
+
+    def save(self, path: str) -> None:
+        self.bands.write.mode("overwrite").parquet(f"{path}/bands")
+        self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+
+
+def load_minhash_index(spark, path: str) -> MinHashIndex:
+    return MinHashIndex(
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/clusters"),
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    max_bucket_size: int = MAX_BAND_BUCKET,
+) -> MinHashIndex:
+    """Build the incremental-dedup index: cluster the corpus once
+    (minhash_dedup, which manages its own caches) and derive the band
+    table. Both members are lazy — save() materializes each exactly
+    once, so no persist is needed here."""
+    bands = _bands_from_sig(minhash_signature_table(docs, ngram))
+    clusters = minhash_dedup(docs, threshold, ngram, max_bucket_size)
+    return MinHashIndex(bands, clusters)
+
+
+def minhash_assign_new(
+    index: MinHashIndex,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    corpus_docs: DataFrame | None = None,
+    persist_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) for NEW documents against a built index:
+    a new doc joins the cluster of its best near-duplicate in the
+    corpus (ties → smallest cluster_id), or founds its own cluster
+    (cluster_id = its doc_id) when nothing verifies.
+
+    Shapes: new bands join the index band table (equi-join on the
+    band key — the increment never scans the corpus); the exact
+    Jaccard verify re-shingles ONLY the banded corpus candidates,
+    fetched from `corpus_docs` by semi-join (at scale: the documents
+    table, with predicate pushdown on the candidate ids). New docs are
+    NOT compared against each other — run minhash_dedup on the
+    increment first if intra-batch duplicates matter; assignment here
+    is per-doc independent, so it is retry-safe and order-free."""
+    if corpus_docs is None:
+        raise ValueError(
+            "corpus_docs is required for the exact-Jaccard verify "
+            "(the index stores bands, not gram payloads)"
+        )
+    new_grams = gram_hash_spine(new_docs, ngram).persist()
+    register(persist_registry, new_grams)
+    new_sig = minhash_signature_table(new_docs, ngram, grams=new_grams)
+    new_bands = _bands_from_sig(new_sig)
+    cand = (
+        new_bands.select(
+            F.col("doc_id").alias("new_id"), F.col("n_sh").alias("_nn"),
+            "band_idx", "band_hash",
+        )
+        .join(
+            index.bands.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("n_sh").alias("_nc"),
+                "band_idx",
+                "band_hash",
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "_nn", "corpus_id", "_nc")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    corpus_grams = gram_hash_spine(
+        corpus_docs.join(
+            cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        ngram,
+    )
+    inter = (
+        cand.join(new_grams.select(F.col("doc_id").alias("new_id"), "h"), "new_id")
+        .join(
+            corpus_grams.select(F.col("doc_id").alias("corpus_id"), "h"),
+            ["corpus_id", "h"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(
+            F.count_distinct("h").alias("_i"),
+            F.first("_nn").alias("_nn"),
+            F.first("_nc").alias("_nc"),
+        )
+    )
+    matched = (
+        inter.filter(
+            F.col("_i").cast("double") / (F.col("_nn") + F.col("_nc") - F.col("_i"))
+            >= threshold
+        )
+        .join(
+            index.clusters.select(
+                F.col("doc_id").alias("corpus_id"), "cluster_id"
+            ),
+            "corpus_id",
+        )
+        .groupBy("new_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(matched.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def minhash_md5_dedup(
     docs: DataFrame,
     threshold: float = 0.6,

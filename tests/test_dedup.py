@@ -483,3 +483,49 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     # audit view surfaces the dropped grams
     freq = {r["g"]: r["n_docs"] for r in frequent_grams(docs, max_doc_freq=5).collect()}
     assert any(n == 21 for n in freq.values())
+
+
+def test_minhash_incremental_assignment(spark, tmp_path):
+    """Build-once / assign-increments (the daily-crawl shape): a new
+    near-dup of a corpus doc joins that doc's cluster through the
+    saved index; a novel doc founds its own; the corpus clustering is
+    never recomputed."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        load_minhash_index,
+        minhash_assign_new,
+        minhash_index,
+    )
+
+    base = "o tribunal da relacao confirmou a sentenca no processo "
+    corpus = spark.createDataFrame(
+        [
+            (2, base + "um dois tres quatro cinco seis sete oito"),
+            (9, base + "um dois tres quatro cinco seis sete oito"),
+            (40, " ".join(f"token{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, threshold=0.5)
+    idx.save(str(tmp_path / "mhidx"))
+    loaded = load_minhash_index(spark, str(tmp_path / "mhidx"))
+
+    new = spark.createDataFrame(
+        [
+            (100, base + "um dois tres quatro cinco seis sete NOVE"),  # near-dup
+            (101, " ".join(f"outro{i}" for i in range(25))),           # novel
+        ],
+        "doc_id long, text string",
+    )
+    assigned = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_assign_new(
+            loaded, new, threshold=0.5, corpus_docs=corpus
+        ).collect()
+    }
+    assert assigned[100] == 2   # joined the {2, 9} cluster (numeric min rep)
+    assert assigned[101] == 101  # novel doc founds its own cluster
+    # assignment requires the corpus docs for the exact verify
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus_docs"):
+        minhash_assign_new(loaded, new, threshold=0.5)
