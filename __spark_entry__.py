@@ -1321,7 +1321,7 @@ _DOC_PACK_BINS_SQL = """
 WITH tok AS (
   SELECT doc_id,
          doc_id % 16 AS shard,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS n_tokens
   FROM documents
 )
 SELECT doc_id, shard, n_tokens,

@@ -35,7 +35,11 @@ def hash_sample(
     df: DataFrame, key: str | Column, fraction: float
 ) -> DataFrame:
     """Deterministic ~`fraction` sample keyed on md5(key); granularity
-    1/256 (two hex chars). fraction ≥ 1 returns df unchanged."""
+    1/256 (two hex chars). fraction ≥ 1 returns df unchanged.
+
+    NULL keys are never sampled (md5(NULL) is NULL and the comparison
+    is false) — a null-keyed row has no stable identity to sample by;
+    filter or key-fill upstream if those rows matter."""
     if fraction >= 1.0:
         return df
     cut = max(0, min(256, round(fraction * 256)))
@@ -128,8 +132,12 @@ def pack_token_bins(
     unique (shard-qualified). Deterministic: shard = pmod(key, shards)
     and in-shard order is the key itself."""
     # long, not int: the DuckDB oracle's len() is BIGINT and the
-    # driver's schema check compares dtypes
-    toks = F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("long")
+    # driver's schema check compares dtypes. NULL text counts as zero
+    # tokens (the row still gets a bin) — a crawl corpus has null rows
+    # and silently nulling bin_id would drop them from training.
+    toks = F.coalesce(
+        F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("long"), F.lit(0)
+    )
     shard = F.pmod(F.col(key), F.lit(shards))
     w = Window.partitionBy(shard).orderBy(key)
     cum = F.sum(toks).over(w)

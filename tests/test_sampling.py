@@ -128,3 +128,28 @@ def test_weighted_upsample_multiplicities(spark, docs):
     assert sorted((r["doc_id"], r["copy_idx"]) for r in out) == sorted(
         (r["doc_id"], r["copy_idx"]) for r in out2
     )
+
+
+def test_null_rows_policy(spark):
+    """Crawl corpora have null rows — pin the policy: null TEXT packs
+    as zero tokens (the row keeps a bin; silently nulling bin_id would
+    drop it from training), null KEY is never sampled (no stable
+    identity to hash)."""
+    from portuguese_pt_legal_ner_spark.operators.sampling import (
+        hash_sample,
+        pack_token_bins,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    packed = {r["doc_id"]: r for r in pack_token_bins(docs, budget=10).collect()}
+    assert set(packed) == {1, 2, 3}          # every row assigned a bin
+    assert packed[2]["n_tokens"] == 0
+    assert packed[2]["bin_id"] is not None
+    nullkey = spark.createDataFrame(
+        [(None, "x"), (7, "y")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in hash_sample(nullkey, "doc_id", 0.99).collect()}
+    assert None not in kept
