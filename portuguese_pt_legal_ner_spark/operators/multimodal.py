@@ -136,6 +136,71 @@ def extract_features(
     return pruned.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: re-packs the FAKE header with
+    the target dimensions and rescales the filler to the new
+    width*height contract — the byte-level analog of pixel resampling,
+    derived purely from the input payload (idempotent under retry)."""
+    if payload[:4] != b"FAKE":
+        raise ValueError("not a FAKE payload")
+    body = payload[8:] or b"\x00"
+    filler_len = (width * height) % 4096
+    filler = (body * (filler_len // len(body) + 1))[:filler_len]
+    return b"FAKE" + struct.pack(">HH", width, height) + filler
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """The production seam: swap in PIL.Image.resize / ffmpeg scale
+    here. STUB in this container (no codec libraries), like
+    real_decode."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; "
+        "inject resizer=fake_resize or a real resizer"
+    )
+
+
+def resize_assets(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = real_resize,
+) -> DataFrame:
+    """assets → assets with payloads resized to (width, height); the
+    original dimensions are preserved in the metadata map (a training
+    pipeline normalizes image sizes BEFORE feature extraction, and the
+    provenance of the original resolution must survive). Same Arrow-
+    batched mapInPandas shape and per-asset failure isolation as
+    extract_features; audio/video rows pass through untouched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {f.name: [] for f in ASSETS_SCHEMA.fields}
+            for aid, kind, payload, meta in zip(
+                batch["asset_id"], batch["kind"], batch["payload"], batch["meta"]
+            ):
+                payload = bytes(payload)
+                meta = dict(meta) if meta is not None else {}
+                if kind == "image":
+                    try:
+                        ow, oh = struct.unpack(">HH", payload[4:8])
+                        payload = resizer(payload, width, height)
+                        meta["orig_width"] = str(ow)
+                        meta["orig_height"] = str(oh)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        continue  # per-asset isolation
+                out["asset_id"].append(int(aid))
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return assets.select(
+        "asset_id", "kind", "payload", "meta"
+    ).mapInPandas(run, ASSETS_SCHEMA)
+
+
 def sample_frames(
     assets: DataFrame, every_n_bytes: int = 512
 ) -> DataFrame:

@@ -356,3 +356,37 @@ def test_ivf_staleness_after_append(spark, emb, queries, tmp_path, caplog):
     assert loaded.is_stale(appended)
     idx.unpersist()
     loaded.unpersist()
+
+
+def test_resize_assets_plumbing(spark):
+    """Resize op (multimodal brief: decode/feature/resize/frame-sample):
+    image payloads re-dimension through the stubbed resizer seam, the
+    ORIGINAL dimensions survive in the metadata map, non-image rows
+    pass through untouched, and the resized payload round-trips the
+    decoder at the new dimensions."""
+    import pytest as _pytest
+
+    from portuguese_pt_legal_ner_spark.operators.multimodal import (
+        fake_decode,
+        fake_resize,
+        resize_assets,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=12)
+    out = resize_assets(assets, 32, 24, resizer=fake_resize).collect()
+    assert len(out) == 12
+    originals = {r["asset_id"]: r for r in assets.collect()}
+    for r in out:
+        if r["kind"] == "image":
+            w, h, feats = fake_decode(bytes(r["payload"]))
+            assert (w, h) == (32, 24)
+            assert len(feats) == 8
+            ow = int(r["meta"]["orig_width"])
+            assert ow == fake_decode(bytes(originals[r["asset_id"]]["payload"]))[0]
+        else:
+            assert bytes(r["payload"]) == bytes(originals[r["asset_id"]]["payload"])
+            assert "orig_width" not in r["meta"]
+    # the production seam stays a clearly-marked stub
+    with _pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        resize_assets(assets, 8, 8).collect()
