@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import register
-from .canonicalize import connected_components
 
 N_HASHES = 32
 N_BANDS = 8
