@@ -587,10 +587,13 @@ def minhash_assign_new(
     (cluster_id = its doc_id) when nothing verifies.
 
     Shapes: new bands join the index band table (equi-join on the
-    band key — the increment never scans the corpus); the exact
-    Jaccard verify re-shingles ONLY the banded corpus candidates,
-    fetched from `corpus_docs` by semi-join (at scale: the documents
-    table, with predicate pushdown on the candidate ids). New docs are
+    band key — the increment never self-joins against the corpus); the
+    exact Jaccard verify re-shingles ONLY the banded corpus
+    candidates, selected from `corpus_docs` by semi-join — at scale
+    Spark's runtime Bloom-filter pushdown (on by default in Spark 4;
+    spark.sql.optimizer.runtime.bloomFilter.enabled) injects the
+    candidate-id filter into the corpus parquet scan, so the
+    re-shingle touches candidate row groups, not 100 TB. New docs are
     NOT compared against each other — run minhash_dedup on the
     increment first if intra-batch duplicates matter; assignment here
     is per-doc independent, so it is retry-safe and order-free."""
