@@ -1140,6 +1140,115 @@ def embedding_neardup_clusters(
     )
 
 
+class EmbeddingDedupIndex:
+    """Persisted state for incremental EMBEDDING near-dup assignment:
+    the corpus SRP band table (vec_id, band_idx, band_val) + vec →
+    cluster map — the minhash incremental pattern applied to the
+    embedding family (build once over the corpus, assign daily
+    increments without re-clustering)."""
+
+    def __init__(self, bands: DataFrame, clusters: DataFrame):
+        self.bands = bands
+        self.clusters = clusters
+
+    def save(self, path: str) -> None:
+        self.bands.write.mode("overwrite").parquet(f"{path}/bands")
+        self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+
+
+def load_embedding_index(spark, path: str) -> EmbeddingDedupIndex:
+    return EmbeddingDedupIndex(
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/clusters"),
+    )
+
+
+def embedding_index(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 6,
+    seed: int = 42,
+    max_bucket_size: int = MAX_BAND_BUCKET,
+) -> EmbeddingDedupIndex:
+    """Build the incremental embedding-dedup index: cluster the corpus
+    once (embedding_neardup_clusters) and keep its SRP band spine."""
+    from .similarity import _srp_bands  # noqa: PLC0415
+
+    bands = _srp_bands(
+        embeddings.select(F.col("vec_id"), F.col("embedding")),
+        "vec_id", "embedding", n_bands, seed,
+    )
+    clusters = embedding_neardup_clusters(
+        embeddings, threshold, n_bands, seed, max_bucket_size
+    )
+    return EmbeddingDedupIndex(bands, clusters)
+
+
+def embedding_assign_new(
+    index: EmbeddingDedupIndex,
+    new_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, cluster_id) for NEW vectors against a built index: a
+    new vector joins the cluster of its best cosine-verified corpus
+    near-duplicate (ties → smallest cluster_id) or founds its own.
+    Same scale shapes as minhash_assign_new: band equi-join against
+    the index (slim — no vector payloads in the exchange), exact
+    cosine verify on banded candidates only, corpus vectors fetched by
+    semi-join with runtime Bloom-filter pushdown into the scan."""
+    from .similarity import _srp_bands, cosine_pandas  # noqa: PLC0415
+
+    new_bands = _srp_bands(
+        new_embeddings.select("vec_id", "embedding"),
+        "vec_id", "embedding", n_bands, seed,
+    )
+    cand = (
+        new_bands.select(
+            F.col("vec_id").alias("new_id"), "band_idx", "band_val"
+        )
+        .join(
+            index.bands.select(
+                F.col("vec_id").alias("corpus_id"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    corpus_vecs = corpus_embeddings.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")
+    ).join(cand.select("corpus_id").distinct(), "corpus_id", "left_semi")
+    matched = (
+        cand.join(
+            new_embeddings.select(
+                F.col("vec_id").alias("new_id"), F.col("embedding").alias("ne")
+            ),
+            "new_id",
+        )
+        .join(corpus_vecs, "corpus_id")
+        .filter(cosine_pandas(F.col("ne"), F.col("ce")) >= threshold)
+        .join(
+            index.clusters.select(
+                F.col("vec_id").alias("corpus_id"), "cluster_id"
+            ),
+            "corpus_id",
+        )
+        .groupBy("new_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        new_embeddings.select("vec_id")
+        .join(matched.withColumnRenamed("new_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
 def ngram_jaccard_sparse(
     docs_a: DataFrame,
     docs_b: DataFrame,

@@ -529,3 +529,41 @@ def test_minhash_incremental_assignment(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="corpus_docs"):
         minhash_assign_new(loaded, new, threshold=0.5)
+
+
+def test_embedding_incremental_assignment(spark, tmp_path):
+    """Embedding analog of minhash incremental assignment: a new
+    vector near-identical to a corpus vector joins its cluster via the
+    saved SRP index; an orthogonal-ish new vector founds its own."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_assign_new,
+        embedding_index,
+        load_embedding_index,
+    )
+
+    rng = random.Random(5)
+    base = [float(rng.gauss(0, 1)) for _ in range(64)]
+    corpus = spark.createDataFrame(
+        [(10, base, 0), (11, base, 0)]
+        + [(20 + i, [float(rng.gauss(0, 1)) for _ in range(64)], 1) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = embedding_index(corpus, threshold=0.95)
+    idx.save(str(tmp_path / "eidx"))
+    loaded = load_embedding_index(spark, str(tmp_path / "eidx"))
+
+    near = [x * 1.001 for x in base]  # cosine ≈ 1 with the {10, 11} pair
+    new = spark.createDataFrame(
+        [(100, near), (101, [float(rng.gauss(0, 1)) for _ in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_assign_new(
+            loaded, new, corpus, threshold=0.95
+        ).collect()
+    }
+    assert assigned[100] == 10   # adopted by the {10, 11} cluster
+    assert assigned[101] == 101  # novel vector founds its own
