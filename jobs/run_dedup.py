@@ -1,0 +1,99 @@
+"""spark-submit entrypoint for the dedup family (build + incremental).
+
+Build (cluster a corpus at rest, persist the incremental index):
+    python -m zipfile -c /tmp/pkg.zip portuguese_pt_legal_ner_spark
+    spark-submit --py-files /tmp/pkg.zip jobs/run_dedup.py build \
+        --input <documents_parquet> --index-dir <dir> \
+        [--threshold 0.8] [--checkpoint-dir <hdfs-dir>] [--out <parquet>]
+
+Assign (near-dup-assign a daily increment against the built index —
+never re-clusters the corpus):
+    spark-submit ... jobs/run_dedup.py assign \
+        --input <new_documents_parquet> --corpus <documents_parquet> \
+        --index-dir <dir> [--threshold 0.8] [--out <parquet>]
+
+Local smoke (this sandbox):
+    python jobs/run_dedup.py build --input /root/testdata/sf0.001/documents.parquet \
+        --index-dir /tmp/mhidx --out /tmp/clusters
+
+Outputs one JSON line with row counts; cluster assignments land in
+--out (parquet) when given, else print a sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("mode", choices=["build", "assign"])
+    parser.add_argument("--input", required=True,
+                        help="documents parquet (corpus for build, "
+                        "increment for assign)")
+    parser.add_argument("--corpus", default=None,
+                        help="corpus documents parquet (assign mode: the "
+                        "exact-Jaccard verify re-shingles banded candidates)")
+    parser.add_argument("--index-dir", required=True)
+    parser.add_argument("--threshold", type=float, default=0.8)
+    parser.add_argument("--ngram", type=int, default=3)
+    parser.add_argument("--max-bucket-size", type=int, default=None)
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="reliable-checkpoint dir for CC iterations "
+                        "(build mode; default localCheckpoint)")
+    parser.add_argument("--out", default=None, help="output parquet path")
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args()
+    if args.mode == "assign" and not args.corpus:
+        parser.error("assign mode needs --corpus (the index stores bands, "
+                     "not gram payloads)")
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        MinHashIndex,
+        _bands_from_sig,
+        load_minhash_index,
+        minhash_assign_new,
+        minhash_dedup,
+        minhash_signature_table,
+    )
+    from portuguese_pt_legal_ner_spark.session import build_session
+
+    spark = build_session(app_name=f"dedup-{args.mode}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    cap = args.max_bucket_size or MAX_BAND_BUCKET
+
+    docs = spark.read.parquet(args.input)
+    if args.mode == "build":
+        clusters = minhash_dedup(
+            docs, args.threshold, args.ngram, cap,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        bands = _bands_from_sig(minhash_signature_table(docs, args.ngram))
+        MinHashIndex(bands, clusters).save(args.index_dir)
+        result = spark.read.parquet(f"{args.index_dir}/clusters")
+    else:
+        index = load_minhash_index(spark, args.index_dir)
+        result = minhash_assign_new(
+            index, docs, args.threshold, args.ngram,
+            corpus_docs=spark.read.parquet(args.corpus),
+        )
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        result = spark.read.parquet(args.out)
+    n_docs = result.count()
+    n_clusters = result.select("cluster_id").distinct().count()
+    print(json.dumps({
+        "mode": args.mode, "docs": n_docs, "clusters": n_clusters,
+        "index_dir": args.index_dir, "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

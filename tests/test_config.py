@@ -123,3 +123,52 @@ def test_input_and_synthetic_conflict(tmp_path):
     )
     assert proc.returncode != 0
     assert "mutually exclusive" in proc.stderr
+
+
+def test_dedup_cli_build_then_assign(tmp_path):
+    """The dedup family's spark-submit surface: build clusters + the
+    incremental index from a corpus, then assign an increment against
+    it in a SEPARATE process (the index round-trips through parquet)."""
+    import duckdb
+
+    corpus = tmp_path / "corpus"
+    inc = tmp_path / "inc"
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(2, 'o tribunal da relacao confirmou a sentenca um dois tres quatro cinco'),"
+        "(9, 'o tribunal da relacao confirmou a sentenca um dois tres quatro cinco'),"
+        "(40, 'texto totalmente diferente sobre outra coisa qualquer aqui agora')"
+        ") t(doc_id, text)) TO '" + str(corpus) + "' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(100, 'o tribunal da relacao confirmou a sentenca um dois tres quatro SEIS'),"
+        "(101, 'conteudo novo que nao parece com nada visto antes em lado nenhum')"
+        ") t(doc_id, text)) TO '" + str(inc) + "' (FORMAT PARQUET)"
+    )
+    idx = tmp_path / "mhidx"
+    out1 = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_dedup.py"), "build",
+         "--input", str(corpus), "--index-dir", str(idx),
+         "--threshold", "0.5", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    import json as _json
+
+    built = _json.loads(out1.stdout.strip().splitlines()[-1])
+    assert built["docs"] == 3 and built["clusters"] == 2
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_dedup.py"), "assign",
+         "--input", str(inc), "--corpus", str(corpus),
+         "--index-dir", str(idx), "--threshold", "0.5",
+         "--out", str(tmp_path / "assigned"), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rows = dict(
+        duckdb.sql(
+            f"SELECT doc_id, cluster_id FROM read_parquet('{tmp_path}/assigned/*.parquet')"
+        ).fetchall()
+    )
+    assert rows == {100: 2, 101: 101}
