@@ -1,0 +1,89 @@
+"""spark-submit entrypoint for the Structured Streaming jobs.
+
+Each mode is an AvailableNow catch-up job over a growing input
+directory — run it from cron/Airflow and it processes unseen files,
+updates its state in the checkpoint, and exits; state (watermarks,
+dedup keys, open sessions, near-dup band buckets) survives between
+runs. Swap the trigger for a continuous one in a long-running driver.
+
+    spark-submit --py-files /tmp/pkg.zip jobs/run_stream.py <mode> \
+        --input <dir> --output <dir> --checkpoint <dir> [options]
+
+Modes:
+    windowed  — watermarked tumbling event-time window counts (events)
+    sessions  — stateful user sessionization, gap + timeout close (events)
+    dedup     — watermark-bounded exact key dedup (events)
+    neardup   — in-stream simhash near-dup pairing, star-capped
+                watermark-bounded bucket state (documents with ts)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("mode", choices=["windowed", "sessions", "dedup", "neardup"])
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--window", default="10 minutes")
+    parser.add_argument("--delay", default="10 minutes",
+                        help="watermark delay (late-data allowance)")
+    parser.add_argument("--gap-sec", type=int, default=1800)
+    parser.add_argument("--keys", default="event_id",
+                        help="comma-separated dedup keys (dedup mode)")
+    parser.add_argument("--max-hamming", type=int, default=3)
+    parser.add_argument("--n-bands", type=int, default=4)
+    parser.add_argument("--delay-sec", type=int, default=3600,
+                        help="near-dup state horizon in seconds")
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args()
+
+    from portuguese_pt_legal_ner_spark.session import build_session
+
+    spark = build_session(app_name=f"stream-{args.mode}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "windowed":
+        from portuguese_pt_legal_ner_spark.streaming.windowed import (
+            stream_windowed_counts,
+        )
+
+        stream_windowed_counts(spark, args.input, args.output,
+                               args.checkpoint, args.window, args.delay)
+    elif args.mode == "sessions":
+        from portuguese_pt_legal_ner_spark.streaming.sessions import (
+            stream_user_sessions,
+        )
+
+        stream_user_sessions(spark, args.input, args.output,
+                             args.checkpoint, args.gap_sec, args.delay)
+    elif args.mode == "dedup":
+        from portuguese_pt_legal_ner_spark.streaming.dedup import stream_dedup
+
+        stream_dedup(spark, args.input, args.output, args.checkpoint,
+                     keys=tuple(args.keys.split(",")), delay=args.delay)
+    else:
+        from portuguese_pt_legal_ner_spark.streaming.neardup import (
+            stream_neardup_pairs,
+        )
+
+        stream_neardup_pairs(
+            spark, args.input, args.output, args.checkpoint,
+            max_hamming=args.max_hamming, n_bands=args.n_bands,
+            delay=args.delay, delay_sec=args.delay_sec,
+        )
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"mode": args.mode, "output_rows": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -357,3 +357,49 @@ def test_stream_neardup_pigeonhole_enforced(spark):
     df = spark.createDataFrame([], DOCS_STREAM_SCHEMA)
     with pytest.raises(ValueError, match="pigeonhole"):
         neardup_pairs_stream(df, max_hamming=4, n_bands=4)
+
+
+def test_stream_cli_neardup_two_runs(spark, tmp_path):
+    """The streaming CLI surface: two cron-style invocations of the
+    neardup mode in SEPARATE processes; run 2 pairs a new arrival with
+    run 1's in-horizon state through the checkpoint."""
+    import json
+    import subprocess
+    import sys
+    from datetime import datetime
+    from pathlib import Path
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+    )
+
+    repo = Path(__file__).resolve().parent.parent
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    boiler = "clausula padrao de responsabilidade limitada " * 6
+
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), boiler)], DOCS_STREAM_SCHEMA
+    ).write.mode("append").parquet(inp)
+    r1 = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "run_stream.py"), "neardup",
+         "--input", inp, "--output", out, "--checkpoint", ckp,
+         "--delay", "1 hour", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert json.loads(r1.stdout.strip().splitlines()[-1])["output_rows"] == 0
+
+    spark.createDataFrame(
+        [(2, datetime(2024, 1, 1, 12, 5), boiler + " extra")], DOCS_STREAM_SCHEMA
+    ).write.mode("append").parquet(inp)
+    r2 = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "run_stream.py"), "neardup",
+         "--input", inp, "--output", out, "--checkpoint", ckp,
+         "--delay", "1 hour", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    assert pairs == {(1, 2)}
