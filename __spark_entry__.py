@@ -462,6 +462,19 @@ GROUP BY lang
 """
 
 
+def _q_doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB percentile path: approx_percentile (one-pass
+    mergeable sketch; exact percentile sorts every group). Rows-only —
+    the sketch is engine-specific; pytest bounds its error against the
+    exact form (test_textstats_similarity)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("approx_percentile(n_chars, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(n_chars, 0.9, 1000)").alias("p90"),
+        F.expr("approx_percentile(n_chars, 0.99, 1000)").alias("p99"),
+    )
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per (type, day) counts + value stats."""
     ev = _load(spark, sf_dir, "events")
@@ -1660,6 +1673,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "events_pivot": _q_events_pivot,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_length_quantiles_approx": _q_doc_length_quantiles_approx,
         "events_windowed": _q_events_windowed,
         "stream_events_windowed": _q_stream_events_windowed,
         "events_inheritance": _q_events_inheritance,

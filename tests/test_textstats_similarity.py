@@ -390,3 +390,28 @@ def test_resize_assets_plumbing(spark):
     # the production seam stays a clearly-marked stub
     with _pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         resize_assets(assets, 8, 8).collect()
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The sketch percentile (the 100-TB path) must land within rank
+    accuracy of the exact form on the same data — pins that the
+    rows-only approx query is a faithful stand-in for the SQL-checked
+    exact one."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in entry._raw_queries()["doc_length_quantiles"](spark, sf).collect()
+    }
+    approx = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in entry._raw_queries()["doc_length_quantiles_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            # accuracy=1000 → rank error ≤ 1/1000; on ≤500-row groups
+            # the sketch is near-exact — allow 5% value slack for the
+            # nearest-item (non-interpolating) semantics
+            assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)
