@@ -580,6 +580,26 @@ GROUP BY md5(text)
 """
 
 
+def _q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tolerant exact dedup: casing/whitespace variants
+    of the same text collapse to one hash (the practical first tier of
+    crawl dedup)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        exact_dedup_normalized,
+    )
+
+    return exact_dedup_normalized(_load(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_NORM_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 def _q_ann_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search (brute-force baseline): for each query vector
     (vec_id < 200), count other vectors with cosine > 0.5. Threshold
@@ -1687,6 +1707,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _q_rollup_revenue,
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_normalized": _q_dedup_exact_normalized,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
@@ -1742,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_SQL,
         "customers_without_orders": _CUST_WITHOUT_ORDERS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_exact_normalized": _DEDUP_EXACT_NORM_SQL,
         "dedup_minhash_md5": _DEDUP_MINHASH_MD5_SQL,
         "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
         "dedup_minhash_md5_clusters": _DEDUP_MINHASH_MD5_CLUSTERS_SQL,

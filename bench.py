@@ -124,6 +124,7 @@ def main() -> None:
         "doc_fingerprint",
         "doc_term_freq",
         "dedup_exact",
+        "dedup_exact_normalized",
         "dedup_minhash",
         "dedup_minhash_md5_pairs",
         "dedup_minhash_md5_clusters",

@@ -57,6 +57,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_normalized(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_copies, keep_doc_id) over NORMALIZED text:
+    lowercase + whitespace runs collapsed + trimmed. Practical "exact"
+    dedup — a crawl re-serializes the same page with different casing
+    and spacing, which byte-exact hashing treats as distinct; near-dup
+    tiers are overkill for that. Same hash-groupBy shape as
+    exact_dedup (map-side combined, scales)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.groupBy(F.md5(norm).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
 MAX_BAND_BUCKET = 5000  # docs per LSH band bucket before the cap trips
 
 

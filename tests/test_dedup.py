@@ -567,3 +567,26 @@ def test_embedding_incremental_assignment(spark, tmp_path):
     }
     assert assigned[100] == 10   # adopted by the {10, 11} cluster
     assert assigned[101] == 101  # novel vector founds its own
+
+
+def test_exact_dedup_normalized(spark):
+    """Casing/whitespace re-serializations of the same text collapse;
+    genuinely different text does not."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "O Tribunal  decidiu\thoje"),
+            (2, "o tribunal decidiu hoje"),
+            (3, "  o Tribunal DECIDIU hoje  "),
+            (4, "texto diferente"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup_normalized(docs).collect()}
+    assert norm == {1: 3, 4: 1}
+    # byte-exact sees them all as distinct
+    assert all(r["n_copies"] == 1 for r in exact_dedup(docs).collect())
