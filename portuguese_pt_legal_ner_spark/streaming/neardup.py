@@ -9,14 +9,19 @@ doc_b, hamming) for every new document whose simhash lies within
 "earlier" is bounded by the watermark delay, exactly like
 streaming/dedup.py bounds exact-dedup state.
 
-Shape (the streaming analog of simhash_neardup_pairs):
+Shape (the streaming analog of simhash_md5_neardup_pairs):
 
   * simhash is computed IN-STREAM by an Arrow-batched pandas UDF —
-    row-local (one doc's tokens → one 64-bit word), so it needs no
-    aggregation state. The hash family is md5-low-64 per token
-    (hashlib), deterministic across executors; it does not need to
-    match the batch xxhash64 family — near-dup semantics only need
-    internal consistency;
+    row-local (one doc's tokens → one 32-bit word), so it needs no
+    aggregation state. The hash family is the SAME engine-neutral
+    md5 family as the batch ``simhash_md5_table`` (bit i = token
+    majority of the low bit of md5 hex digit i), asserted bit-equal
+    in test_streaming — so the stream's finalized-horizon pair set is
+    value-checkable against the batch pair set AND against the DuckDB
+    oracle that already checks the batch path. Hashing is batched:
+    one md5 per DISTINCT token of the Arrow batch, then one numpy
+    pass assembles every document's signature (no per-doc Python
+    loop over tokens);
   * each document fans out to `n_bands` bit-slice keys; the stream is
     grouped by (band_idx, band_val) — the hash exchange carries
     (doc_id, sim, ts, band) only, never text (the batch rule);
@@ -30,9 +35,20 @@ Shape (the streaming analog of simhash_neardup_pairs):
     entry only — the streaming analog of the batch star-link: a
     boilerplate flood stays linked to its representative at O(1)
     state and O(1) work per doc instead of growing the bucket without
-    bound. Entries older than the delay window (relative to the
-    bucket's newest event) are pruned; an idle bucket's whole state is
-    dropped by the event-time timeout.
+    bound. While a flood keeps a capped bucket active, the
+    representative's timestamp (and the bucket's `newest`) advance
+    with the INCOMING rows even though nothing is appended — an
+    ongoing flood must neither expire its own state mid-flood nor
+    freeze the event-time timeout below the advancing watermark
+    (setTimeoutTimestamp rejects a timestamp ≤ watermark, so a frozen
+    `newest` would crash the query exactly in the sustained-flood
+    case the cap exists for). Capped buckets are AUDITED: pass
+    `capped_acc` (a SparkContext accumulator) and every bucket-batch
+    that hits the cap increments it — stream_neardup_pairs logs the
+    count after each run (the no-silent-caps rule);
+  * entries older than the delay window (relative to the bucket's
+    newest event) are pruned; an idle bucket's whole state is dropped
+    by the event-time timeout.
 
 A pair agreeing on several bands is emitted once per agreeing band
 micro-batch-locally; consumers wanting a distinct pair set dedupe on
@@ -66,7 +82,7 @@ PAIR_SCHEMA = T.StructType(
     [
         T.StructField("doc_a", T.LongType()),
         T.StructField("doc_b", T.LongType()),
-        T.StructField("hamming", T.IntegerType()),
+        T.StructField("hamming", T.LongType()),
     ]
 )
 
@@ -82,44 +98,70 @@ STATE_SCHEMA = T.StructType(
 
 MAX_STREAM_BUCKET = 1000
 
+SIMHASH_BITS = 32  # the md5 hex-digit family width (simhash_md5_table)
 
-def simhash64_pandas(text):
-    """Arrow-batched per-document 64-bit simhash (md5-low-64 token
-    hashes, majority rule) — the row-local form streaming needs; the
-    batch path's explode→aggregate shape (dedup.simhash_table) covers
-    corpora at rest."""
+# Java \s (Spark's split('\\s+')) is ASCII-only: [ \t\n\x0B\f\r].
+# Spark's trim() strips ONLY the space character. The replica below is
+# asserted bit-equal to simhash_md5_table in test_streaming.
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _simhash32_md5_batch(texts) -> np.ndarray:
+    """Vectorized batch simhash: ONE md5 per distinct token of the
+    batch, then a single numpy pass (unique/inverse + add.reduceat)
+    assembles every document's 32-bit signature — no Python loop over
+    docs × tokens on the firehose path (round-4 verdict item 5).
+
+    Bit i = majority, over the doc's token OCCURRENCES, of the low bit
+    of hex digit i of md5(token) — identical arithmetic to the batch
+    ``dedup.simhash_md5_table`` (hex digit 2k is the high nibble of
+    digest byte k, 2k+1 the low nibble; 'odd hex digit' == low bit
+    set)."""
     import hashlib  # noqa: PLC0415
+    import re  # noqa: PLC0415
 
+    split = re.compile(_JAVA_WS).split
+    tok_lists = [split((t or "").strip(" ")) for t in texts]
+    counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    flat: list[str] = [tok for tl in tok_lists for tok in tl]
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    digests = np.frombuffer(
+        b"".join(hashlib.md5(u.encode("utf-8")).digest() for u in uniq),
+        dtype=np.uint8,
+    ).reshape(-1, 16)
+    bits = np.empty((len(uniq), SIMHASH_BITS), dtype=np.int64)
+    bits[:, 0::2] = (digests >> 4) & 1  # even hex digits: high nibbles
+    bits[:, 1::2] = digests & 1  # odd hex digits: low nibbles
+    tok_bits = bits[inv]  # [total_tokens, 32]
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sums = np.add.reduceat(tok_bits, starts, axis=0)  # every doc ≥1 token
+    maj = (2 * sums) > counts[:, None]
+    return (maj.astype(np.int64) << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(
+        axis=1
+    )
+
+
+def simhash32_md5_pandas(text):
+    """Arrow-batched per-document 32-bit md5 simhash — the row-local
+    form streaming needs; the batch path's explode→aggregate shape
+    (dedup.simhash_md5_table) covers corpora at rest and carries the
+    DuckDB oracle. Same hash family in both, so stream and batch pair
+    sets are directly comparable."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     @pandas_udf("long")
     def _sim(texts):
-        bitpos = np.arange(64, dtype=np.uint64)
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                    )
-                    for tok in toks
-                ],
-                dtype=np.uint64,
-            )
-            bits = (hs[:, None] >> bitpos) & np.uint64(1)  # [n_tok, 64]
-            maj = bits.sum(axis=0) * 2 > len(toks)
-            word = int((maj.astype(np.uint64) << bitpos).sum())
-            out.append(word - (1 << 64) if word >= (1 << 63) else word)
-        return pd.Series(out, dtype="int64")
+        if not len(texts):
+            return pd.Series([], dtype="int64")
+        return pd.Series(_simhash32_md5_batch(texts), dtype="int64")
 
     return _sim(text)
 
 
-def _pair_fn(max_hamming: int, delay_sec: int, max_bucket_size: int):
+def _pair_fn(
+    max_hamming: int, delay_sec: int, max_bucket_size: int, capped_acc=None
+):
     delay_us = delay_sec * 1_000_000
 
     def fn(
@@ -152,10 +194,15 @@ def _pair_fn(max_hamming: int, delay_sec: int, max_bucket_size: int):
         out_a: list[int] = []
         out_b: list[int] = []
         out_h: list[int] = []
+        capped = False
         for doc_id, sim, t_us in rows:
             # star-capped verify: full bucket past the cap compares
             # against the representative (first entry) only
-            cand = range(len(doc_ids)) if len(doc_ids) <= max_bucket_size else [0]
+            if len(doc_ids) > max_bucket_size:
+                capped = True
+                cand = [0]
+            else:
+                cand = range(len(doc_ids))
             for i in cand:
                 if doc_ids[i] == doc_id:
                     continue
@@ -172,7 +219,20 @@ def _pair_fn(max_hamming: int, delay_sec: int, max_bucket_size: int):
                 sims.append(sim)
                 ts_us.append(t_us)
 
-        newest = max(ts_us) if ts_us else rows[-1][2]
+        # `newest` advances with the INCOMING rows even when the cap
+        # stopped appends — a frozen newest would (a) let the watermark
+        # expire an actively-flooding bucket and (b) put the event-time
+        # timeout below the watermark, which setTimeoutTimestamp
+        # rejects (query crash — round-4 advice, high)
+        incoming_max = rows[-1][2] if rows else 0
+        newest = max([*ts_us, incoming_max])
+        if capped:
+            if capped_acc is not None:
+                capped_acc.add(1)
+            # an ongoing flood keeps its representative alive: the rep
+            # stands for rows the cap refused to store, so its horizon
+            # follows the flood's newest arrival, not its own age
+            ts_us[0] = max(ts_us[0], incoming_max)
         # prune entries that fell out of the horizon relative to the
         # bucket's newest event (the watermark advances at least this far)
         keep = [i for i, t in enumerate(ts_us) if t >= newest - delay_us]
@@ -181,8 +241,14 @@ def _pair_fn(max_hamming: int, delay_sec: int, max_bucket_size: int):
             sims = [sims[i] for i in keep]
             ts_us = [ts_us[i] for i in keep]
         state.update((doc_ids, sims, ts_us, newest))
-        # idle buckets are dropped once the watermark passes newest+delay
-        state.setTimeoutTimestamp(newest // 1000 + delay_sec * 1000)
+        # idle buckets are dropped once the watermark passes newest+delay;
+        # clamp strictly above the current watermark — late (allowed)
+        # rows can carry event times the watermark already passed
+        timeout_ms = max(
+            newest // 1000 + delay_sec * 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
 
         if out_a:
             yield pd.DataFrame(
@@ -198,21 +264,24 @@ def neardup_pairs_stream(
     n_bands: int = 4,
     delay_sec: int = 3600,
     max_bucket_size: int = MAX_STREAM_BUCKET,
+    capped_acc=None,
 ) -> DataFrame:
     """streaming docs(doc_id, ts, text) → (doc_a, doc_b, hamming)
     near-dup pairs within the watermark horizon. The input must carry
-    a watermark on ts (drives late-drop and the bucket timeout)."""
+    a watermark on ts (drives late-drop and the bucket timeout).
+    `capped_acc`: optional SparkContext accumulator incremented once
+    per bucket-batch that hit the star cap (audit)."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall "
             f"bound of n_bands-1={n_bands - 1}; raise n_bands"
         )
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    width = 64 // n_bands
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_BITS}")
+    width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     sk = docs.select(
-        "doc_id", "ts", simhash64_pandas(F.col("text")).alias("sim")
+        "doc_id", "ts", simhash32_md5_pandas(F.col("text")).alias("sim")
     )
     bands = sk.select(
         "doc_id",
@@ -233,7 +302,7 @@ def neardup_pairs_stream(
         ).alias("band"),
     ).select("doc_id", "ts", "sim", "band.band_idx", "band.band_val")
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
-        _pair_fn(max_hamming, delay_sec, max_bucket_size),
+        _pair_fn(max_hamming, delay_sec, max_bucket_size, capped_acc),
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -251,10 +320,15 @@ def stream_neardup_pairs(
     delay: str = "1 hour",
     delay_sec: int = 3600,
     max_bucket_size: int = MAX_STREAM_BUCKET,
-) -> None:
+) -> int:
     """AvailableNow job: catch up on unseen document files, append
     newly discovered near-dup pairs, stop. Resumable: bucket state
-    (in-horizon simhashes) lives in the checkpoint across runs."""
+    (in-horizon simhashes) lives in the checkpoint across runs.
+    Returns the number of bucket-batches that hit the star cap this
+    run (also logged — the no-silent-caps audit)."""
+    import logging  # noqa: PLC0415
+
+    capped_acc = spark.sparkContext.accumulator(0)
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .parquet(input_dir)
@@ -262,7 +336,8 @@ def stream_neardup_pairs(
     )
     q = (
         neardup_pairs_stream(
-            stream, max_hamming, n_bands, delay_sec, max_bucket_size
+            stream, max_hamming, n_bands, delay_sec, max_bucket_size,
+            capped_acc=capped_acc,
         )
         .writeStream.format("parquet")
         .option("path", output_dir)
@@ -272,3 +347,18 @@ def stream_neardup_pairs(
         .start()
     )
     q.awaitTermination()
+    n_capped = capped_acc.value
+    logger = logging.getLogger("portuguese_pt_legal_ner_spark.streaming")
+    if n_capped:
+        logger.warning(
+            "stream_neardup_pairs: %d bucket-batches exceeded "
+            "max_bucket_size=%d; new docs verified against bucket "
+            "representatives only (streaming star-link)",
+            n_capped, max_bucket_size,
+        )
+    else:
+        logger.info(
+            "stream_neardup_pairs: no bucket exceeded max_bucket_size=%d",
+            max_bucket_size,
+        )
+    return n_capped

@@ -403,3 +403,139 @@ def test_stream_cli_neardup_two_runs(spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_stream_simhash_family_matches_batch_md5(spark):
+    """The in-stream pandas-UDF simhash is bit-identical to the batch
+    simhash_md5_table (the DuckDB-oracled family) — the contract that
+    makes the streaming pair set value-checkable against the batch
+    path, including whitespace/empty edge texts (Spark trim strips
+    ONLY spaces; split('\\s+') is ASCII Java \\s and keeps leading
+    empties)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import simhash_md5_table
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        simhash32_md5_pandas,
+    )
+
+    texts = [
+        "the fast key order sort table scan",
+        "the fast key order sort table scan merge",
+        "a a a b",
+        "",
+        "   ",
+        " \tmixed\twhitespace\n tokens ",
+        "único töken ünïcode açores",
+        "repeat " * 50 + "tail",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: r["sim"] for r in simhash_md5_table(df).collect()
+    }
+    stream_form = {
+        r["doc_id"]: r["sim"]
+        for r in df.select(
+            "doc_id", simhash32_md5_pandas(df["text"]).alias("sim")
+        ).collect()
+    }
+    assert stream_form == batch
+
+
+def test_stream_neardup_pairs_agree_with_batch_family(spark, tmp_path):
+    """Finalized-horizon agreement: with every document inside the
+    horizon and no bucket capped, the stream's distinct pair set
+    EQUALS the batch simhash_md5_neardup_pairs output (same md5
+    family, same banding, same hamming verify) — the round-4 verdict's
+    missing value-check for the streaming tier."""
+    from datetime import datetime, timedelta
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        simhash_md5_neardup_pairs,
+    )
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        stream_neardup_pairs,
+    )
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    boiler = "termos e condições gerais aplicáveis ao serviço " * 6
+    legal = "o tribunal de comarca decidiu em sentença transitada " * 6
+    texts = [
+        boiler,
+        boiler + " extra",
+        legal,
+        legal + " em julgado",
+        " ".join(f"palavra{i}" for i in range(60)),
+        boiler + " anexo um",
+        " ".join(f"outra{i}" for i in range(40)),
+    ]
+    t0 = datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, t0 + timedelta(minutes=i), t) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).write.parquet(inp)
+    stream_neardup_pairs(
+        spark, inp, out, ckp, max_hamming=3, n_bands=4, delay="30 days",
+        delay_sec=30 * 86400,
+    )
+    stream_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_md5_neardup_pairs(
+            batch_df, max_hamming=3, n_bands=4
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert batch_pairs  # non-vacuous: the fixture must contain near-dups
+
+
+def test_stream_neardup_flood_across_horizon_keeps_rep(spark, tmp_path):
+    """A sustained flood spanning the watermark horizon: the capped
+    bucket's `newest` (and its representative's timestamp) advance
+    with INCOMING rows, so (a) setTimeoutTimestamp never lands below
+    the watermark (the round-4 advice crash) and (b) late flood rows
+    still pair with the representative — no state reset mid-flood."""
+    from datetime import datetime, timedelta
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        stream_neardup_pairs,
+    )
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    flood = "identical flood document body " * 8
+    t0 = datetime(2024, 1, 1, 12, 0)
+
+    # a CONTINUOUS flood: 5 cron-style runs, 6 docs each, successive
+    # runs 8 s apart (inside the 10 s horizon) but the total span
+    # (37 s) far beyond it — the flood's own rows advance the
+    # watermark past the first rows' newest+delay while the bucket
+    # stays capped the whole time. With a frozen `newest` this
+    # crashed (INVALID_TIMEOUT_TIMESTAMP) by the later runs.
+    total_capped = 0
+    for run in range(5):
+        rows = [
+            (10 * run + j, t0 + timedelta(seconds=8 * run + j), flood)
+            for j in range(6)
+        ]
+        spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).write.mode(
+            "append"
+        ).parquet(inp)
+        total_capped += stream_neardup_pairs(
+            spark, inp, out, ckp, max_hamming=3, n_bands=4,
+            delay="10 seconds", delay_sec=10, max_bucket_size=2,
+        )
+    assert total_capped > 0  # the star-cap audit fired
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    }
+    # the representative (doc 0) survived the whole flood: every
+    # last-run doc still pairs with it — no state reset mid-flood
+    assert all((0, 40 + j) in pairs for j in range(6))
