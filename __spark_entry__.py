@@ -1355,15 +1355,18 @@ FROM w WHERE n_copies > 0
 
 
 def _q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing: shard-partitioned running token
-    count assigns each document to a 2048-token bin (context-window
-    filling for training). Per-shard windows keep the plan
-    partitioned — a global ORDER BY window would serialize 100 TB
-    through one task."""
+    """Token-budget sequence packing: documents longer than the budget
+    split into (doc_id, chunk_idx) chunks first, then a
+    shard-partitioned running token count assigns each chunk to a
+    2048-token bin (context-window filling for training). Per-shard
+    windows keep the plan partitioned — a global ORDER BY window would
+    serialize 100 TB through one task. The 64-token budget (vs the
+    documents table's ~100-token tails) makes the chunk split
+    observable to the oracle at every sf."""
     from portuguese_pt_legal_ner_spark.operators.sampling import pack_token_bins  # noqa: PLC0415
 
     return pack_token_bins(
-        _load(spark, sf_dir, "documents"), budget=2048, shards=16
+        _load(spark, sf_dir, "documents"), budget=64, shards=16
     )
 
 
@@ -1371,14 +1374,93 @@ _DOC_PACK_BINS_SQL = """
 WITH tok AS (
   SELECT doc_id,
          doc_id % 16 AS shard,
-         coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS n_tokens
+         coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS total_tokens
   FROM documents
+), chunks AS (
+  SELECT doc_id, shard, total_tokens,
+         greatest(1, CAST(ceil(total_tokens / 64.0) AS BIGINT)) AS nc
+  FROM tok
+), exploded AS (
+  SELECT doc_id, shard, total_tokens, nc,
+         CAST(unnest(range(nc)) AS BIGINT) AS chunk_idx
+  FROM chunks
+), sized AS (
+  SELECT doc_id, chunk_idx, shard,
+         CASE WHEN chunk_idx < nc - 1 THEN CAST(64 AS BIGINT)
+              ELSE total_tokens - (nc - 1) * 64 END AS n_tokens
+  FROM exploded
 )
-SELECT doc_id, shard, n_tokens,
+SELECT doc_id, chunk_idx, shard, n_tokens,
        shard * 1000000 + CAST(floor(
-         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-          - n_tokens) / 2048.0) AS BIGINT) AS bin_id
-FROM tok
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx)
+          - n_tokens) / 64.0) AS BIGINT) AS bin_id
+FROM sized
+"""
+
+
+def _q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (plans/curation.py): exact-dedup
+    keep → quality gate (round(score,6) ≥ 0.55) → deterministic 50%
+    md5 sample → 64-token packing with long-doc chunking — one lazy
+    plan, two shuffles (dedup window, shard window), value-checked
+    end-to-end by a DuckDB oracle replaying all four stages."""
+    from portuguese_pt_legal_ner_spark.plans.curation import curate_corpus  # noqa: PLC0415
+
+    return curate_corpus(
+        _load(spark, sf_dir, "documents"),
+        quality_threshold=0.55,
+        sample_fraction=0.5,
+        budget=64,
+        shards=16,
+    )
+
+
+_DOC_CURATION_SQL = """
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents)
+  WHERE doc_id = keep_id
+), scored AS (
+  SELECT doc_id, text,
+     least(greatest(
+        0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+      + 0.3 * least(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                    / greatest(len(toks), 1) / 8.0, 1.0)
+      + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1)),
+      0.0), 1.0) AS q
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM kept)
+), sampled AS (
+  SELECT doc_id, text FROM scored
+  WHERE round(q, 6) >= 0.55
+    AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+), tok AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS total_tokens
+  FROM sampled
+), chunks AS (
+  SELECT doc_id, shard, total_tokens,
+         greatest(1, CAST(ceil(total_tokens / 64.0) AS BIGINT)) AS nc
+  FROM tok
+), exploded AS (
+  SELECT doc_id, shard, total_tokens, nc,
+         CAST(unnest(range(nc)) AS BIGINT) AS chunk_idx
+  FROM chunks
+), sized AS (
+  SELECT doc_id, chunk_idx, shard,
+         CASE WHEN chunk_idx < nc - 1 THEN CAST(64 AS BIGINT)
+              ELSE total_tokens - (nc - 1) * 64 END AS n_tokens
+  FROM exploded
+)
+SELECT doc_id, chunk_idx, shard, n_tokens,
+       shard * 1000000 + CAST(floor(
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx)
+          - n_tokens) / 64.0) AS BIGINT) AS bin_id
+FROM sized
 """
 
 
@@ -1744,6 +1826,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_mixture_upsample": _q_doc_mixture_upsample,
         "doc_pack_bins": _q_doc_pack_bins,
+        "doc_curation": _q_doc_curation,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "dedup_simhash": _q_dedup_simhash,
@@ -1799,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "doc_mixture_upsample": _DOC_MIXTURE_SQL,
         "doc_pack_bins": _DOC_PACK_BINS_SQL,
+        "doc_curation": _DOC_CURATION_SQL,
         "dedup_simhash_md5": _DEDUP_SIMHASH_MD5_SQL,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
         # the stream computes the SAME md5 simhash family in-stream;

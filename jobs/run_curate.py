@@ -1,0 +1,69 @@
+"""spark-submit entrypoint for the composed corpus-curation pipeline.
+
+    spark-submit --py-files /tmp/pkg.zip jobs/run_curate.py \
+        --input <documents_parquet> --output <parquet_dir> \
+        [--quality 0.55] [--fraction 1.0] [--budget 2048] [--shards 16]
+
+Runs exact-dedup keep → quality gate → deterministic md5 sample →
+token packing as ONE plan (plans/curation.py) and writes the packed
+(doc_id, chunk_idx, shard, n_tokens, bin_id) assignment. Prints one
+JSON line with input/output row counts — the kept fraction is the
+ops-visible health signal (a curation run that drops 99% of a crawl
+usually means a mis-set threshold, not a bad crawl).
+
+Local smoke (this sandbox):
+    python jobs/run_curate.py --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated --master 'local[2]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="documents parquet")
+    parser.add_argument("--output", required=True, help="output parquet dir")
+    parser.add_argument("--quality", type=float, default=0.55,
+                        help="quality_score gate (round(score,6) >= q)")
+    parser.add_argument("--fraction", type=float, default=1.0,
+                        help="deterministic md5-prefix sample fraction")
+    parser.add_argument("--budget", type=int, default=2048,
+                        help="token budget per packed bin")
+    parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args()
+
+    from portuguese_pt_legal_ner_spark.plans.curation import curate_corpus
+    from portuguese_pt_legal_ner_spark.session import build_session
+
+    spark = build_session(app_name="curate", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    curated = curate_corpus(
+        docs, quality_threshold=args.quality,
+        sample_fraction=args.fraction, budget=args.budget,
+        shards=args.shards,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n_chunks = out.count()
+    n_docs = out.select("doc_id").distinct().count()
+    n_bins = out.select("bin_id").distinct().count()
+    print(json.dumps({
+        "input_docs": n_in, "kept_docs": n_docs,
+        "kept_fraction": round(n_docs / n_in, 4) if n_in else None,
+        "chunks": n_chunks, "bins": n_bins, "out": args.output,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,14 +53,12 @@ def main() -> None:
         parser.error("assign mode needs --corpus (the index stores bands, "
                      "not gram payloads)")
 
+    from portuguese_pt_legal_ner_spark.cache import release_tracked
     from portuguese_pt_legal_ner_spark.operators.dedup import (
         MAX_BAND_BUCKET,
-        MinHashIndex,
-        _bands_from_sig,
         load_minhash_index,
         minhash_assign_new,
-        minhash_dedup,
-        minhash_signature_table,
+        minhash_index,
     )
     from portuguese_pt_legal_ner_spark.session import build_session
 
@@ -70,12 +68,15 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     if args.mode == "build":
-        clusters = minhash_dedup(
+        # minhash_index shingles the corpus ONCE and shares the
+        # persisted spine between the band table and the clustering
+        # (the naive build ran the most expensive scan twice)
+        index = minhash_index(
             docs, args.threshold, args.ngram, cap,
             checkpoint_dir=args.checkpoint_dir,
         )
-        bands = _bands_from_sig(minhash_signature_table(docs, args.ngram))
-        MinHashIndex(bands, clusters).save(args.index_dir)
+        index.save(args.index_dir)
+        release_tracked()  # drop the build's persisted spine/signatures
         result = spark.read.parquet(f"{args.index_dir}/clusters")
     else:
         index = load_minhash_index(spark, args.index_dir)

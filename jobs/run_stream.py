@@ -27,6 +27,22 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+_DELAY_UNITS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _parse_delay_sec(delay: str) -> int:
+    """'10 minutes' → 600. Supports the interval forms the watermark
+    accepts (N second/minute/hour/day/week[s])."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]+?)s?\s*", delay.lower())
+    if not m or m.group(2) not in _DELAY_UNITS:
+        raise ValueError(f"cannot parse watermark delay {delay!r}")
+    return int(m.group(1)) * _DELAY_UNITS[m.group(2)]
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("mode", choices=["windowed", "sessions", "dedup", "neardup"])
@@ -41,8 +57,10 @@ def main() -> None:
                         help="comma-separated dedup keys (dedup mode)")
     parser.add_argument("--max-hamming", type=int, default=3)
     parser.add_argument("--n-bands", type=int, default=4)
-    parser.add_argument("--delay-sec", type=int, default=3600,
-                        help="near-dup state horizon in seconds")
+    parser.add_argument("--delay-sec", type=int, default=None,
+                        help="near-dup state horizon in seconds; default "
+                        "derived from --delay so the watermark and the "
+                        "bucket prune/timeout horizon always agree")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
 
@@ -75,10 +93,14 @@ def main() -> None:
             stream_neardup_pairs,
         )
 
+        delay_sec = (
+            args.delay_sec if args.delay_sec is not None
+            else _parse_delay_sec(args.delay)
+        )
         stream_neardup_pairs(
             spark, args.input, args.output, args.checkpoint,
             max_hamming=args.max_hamming, n_bands=args.n_bands,
-            delay=args.delay, delay_sec=args.delay_sec,
+            delay=args.delay, delay_sec=delay_sec,
         )
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"mode": args.mode, "output_rows": n}))

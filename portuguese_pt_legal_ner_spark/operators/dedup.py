@@ -208,7 +208,16 @@ def _log_star_audit(observation, op: str, max_bucket_size: int) -> dict:
     default audit emission for capped/star-linked buckets."""
     import logging  # noqa: PLC0415
 
-    vals = dict(observation.get)
+    try:
+        vals = dict(observation.get)
+    except Exception:  # noqa: BLE001 — pruned-branch empty row, see below
+        # When the WHOLE pair plan is empty (no candidates at all), AQE
+        # propagates the empty relation through the union and prunes
+        # the star subtree INCLUDING its CollectMetrics node; the JVM
+        # then publishes a schemaless empty row that Observation.get
+        # cannot convert (toPyRow assertion). A pruned branch IS the
+        # zero-volume case, so report zeros instead of crashing.
+        vals = {}
     logger = logging.getLogger("portuguese_pt_legal_ner_spark.dedup")
     if vals.get("star_pairs", 0):
         logger.warning(
@@ -275,6 +284,8 @@ def minhash_candidate_pairs(
     max_bucket_size: int = MAX_BAND_BUCKET,
     persist_registry: list[DataFrame] | None = None,
     star_observation=None,
+    grams: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-blocked candidate pairs (doc_a < doc_b) with exact Jaccard.
 
@@ -308,10 +319,18 @@ def minhash_candidate_pairs(
     A candidate pair with zero shared grams (a 4-minhash fluke) drops
     out instead of reporting jaccard 0.0 — callers filter on a
     threshold anyway. Gram identity is the 64-bit hash, not the string
-    (collision odds negligible next to minhash noise)."""
-    grams = gram_hash_spine(docs, ngram).persist()
-    sig = minhash_signature_table(docs, ngram, grams=grams).persist()
-    register(persist_registry, grams, sig)
+    (collision odds negligible next to minhash noise).
+
+    `grams`/`sig`: pre-built (persisted) spine/signature tables — an
+    index build derives the band table from the same signatures, so
+    passing them here avoids shingling the corpus twice (round-4
+    advice); ownership (unpersist) stays with the caller."""
+    if grams is None:
+        grams = gram_hash_spine(docs, ngram).persist()
+        register(persist_registry, grams)
+    if sig is None:
+        sig = minhash_signature_table(docs, ngram, grams=grams).persist()
+        register(persist_registry, sig)
     bands = _bands_from_sig(sig)
     star = None
     if max_bucket_size:
@@ -392,6 +411,8 @@ def minhash_dedup(
     ngram: int = 3,
     max_bucket_size: int = MAX_BAND_BUCKET,
     checkpoint_dir: str | None = None,
+    grams: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc; cluster_id = NUMERIC min
     doc_id of its near-duplicate component (singletons map to
@@ -413,20 +434,29 @@ def minhash_dedup(
     and every CC iteration — pass it on a real cluster; the default
     localCheckpoint is fast but UNRECOVERABLE on executor loss (a
     1000-executor CC run would die mid-iteration instead of
-    recomputing)."""
+    recomputing).
+
+    `grams`/`sig`: pre-built persisted spine/signatures (see
+    minhash_candidate_pairs) — caller keeps ownership."""
     from pyspark.sql import Observation  # noqa: PLC0415
 
     registry: list[DataFrame] = []
     obs = Observation() if max_bucket_size else None
     pairs = minhash_candidate_pairs(
         docs, ngram, max_bucket_size, persist_registry=registry,
-        star_observation=obs,
+        star_observation=obs, grams=grams, sig=sig,
     ).filter(F.col("jaccard") >= threshold).select(
         _pad_id(F.col("doc_a")).alias("doc_a"),
         _pad_id(F.col("doc_b")).alias("doc_b"),
     )
+    # the pair count rides the eager checkpoint materialization as an
+    # observed metric instead of a second count() job — at bench scale
+    # the query was ~5 small sequential driver jobs and each extra
+    # action costs fixed scheduling; a 100-TB driver pays the same tax
+    cnt = Observation()
+    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
     pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
-    n_pairs = pairs.count()
+    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
     if obs is not None:
         # default no-silent-caps audit: the star metrics rode the
         # checkpoint materialization — no extra job
@@ -463,16 +493,30 @@ def _components_for(
 
 
 def _reliable_or_local_checkpoint(
-    df: DataFrame, checkpoint_dir: str | None
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
 ) -> DataFrame:
     """Materialize + cut lineage: reliable checkpoint (HDFS/object
     store — survives executor loss) when a dir is given, else
     localCheckpoint (executor-local blocks, fast, lost with the
-    executor)."""
+    executor). NOTE eager=False truncates the LOGICAL plan
+    immediately, so observations attached to the original plan never
+    fire on later actions — callers folding a count into the
+    materialization must use an observed metric + eager=True."""
     if checkpoint_dir:
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint()
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _observed_count_or_recount(obs, key: str, df: DataFrame) -> int:
+    """Read a count that rode a materializing action as an observed
+    metric; fall back to a real count() job when the metric is
+    unavailable (AQE can prune an empty plan's CollectMetrics — see
+    _log_star_audit)."""
+    try:
+        return int(dict(obs.get)[key])
+    except Exception:  # noqa: BLE001 — pruned metrics node / empty row
+        return df.count()
 
 
 def minhash_md5_signature(
@@ -554,21 +598,47 @@ class MinHashIndex:
     the IVF build/probe split. Gram payloads are NOT stored: the
     verify between a new doc and its banded candidates re-shingles
     only the MATCHED corpus docs (a bounded set), keeping the index
-    O(docs × bands) instead of O(total grams)."""
+    O(docs × bands) instead of O(total grams).
 
-    def __init__(self, bands: DataFrame, clusters: DataFrame):
+    `n_docs` is the corpus row count recorded at build — the staleness
+    fingerprint (the IVFIndex contract, similarity.py): an index
+    answers for the snapshot it was built from; corpus docs added
+    AFTER the build have no bands here, so an assign against a grown
+    corpus silently misses clusters that formed since the build.
+    is_stale() compares, and minhash_assign_new warns on drift. A
+    lakehouse snapshot id (Iceberg/Delta) slots into the same field."""
+
+    def __init__(self, bands: DataFrame, clusters: DataFrame,
+                 n_docs: int | None = None):
         self.bands = bands          # doc_id, n_sh, band_idx, band_hash
         self.clusters = clusters    # doc_id, cluster_id
+        self.n_docs = n_docs
+
+    def is_stale(self, current: DataFrame) -> bool:
+        """True when the live corpus row count no longer matches the
+        count recorded at build (unknown build count: not provable)."""
+        if self.n_docs is None:
+            return False
+        return current.count() != self.n_docs
 
     def save(self, path: str) -> None:
         self.bands.write.mode("overwrite").parquet(f"{path}/bands")
         self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        self.bands.sparkSession.createDataFrame(
+            [(self.n_docs,)], "n_docs long"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_minhash_index(spark, path: str) -> MinHashIndex:
+    n_docs = None
+    try:
+        n_docs = spark.read.parquet(f"{path}/meta").collect()[0]["n_docs"]
+    except Exception:  # noqa: BLE001 — pre-meta index layout; stays unknown
+        pass
     return MinHashIndex(
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/clusters"),
+        n_docs,
     )
 
 
@@ -577,14 +647,28 @@ def minhash_index(
     threshold: float = 0.8,
     ngram: int = 3,
     max_bucket_size: int = MAX_BAND_BUCKET,
+    checkpoint_dir: str | None = None,
 ) -> MinHashIndex:
-    """Build the incremental-dedup index: cluster the corpus once
-    (minhash_dedup, which manages its own caches) and derive the band
-    table. Both members are lazy — save() materializes each exactly
-    once, so no persist is needed here."""
-    bands = _bands_from_sig(minhash_signature_table(docs, ngram))
-    clusters = minhash_dedup(docs, threshold, ngram, max_bucket_size)
-    return MinHashIndex(bands, clusters)
+    """Build the incremental-dedup index: shingle the corpus ONCE —
+    the persisted gram spine + signature table feed BOTH the band
+    table and minhash_dedup's clustering (round-4 advice: the build
+    previously ran the most expensive scan, the shingling walk,
+    twice) — and record the corpus row count as the staleness
+    fingerprint. The persisted intermediates go to the module cache
+    tracker; a long-lived driver drains them via
+    cache.release_tracked() once save() has materialized the
+    members."""
+    grams = gram_hash_spine(docs, ngram).persist()
+    sig = minhash_signature_table(docs, ngram, grams=grams).persist()
+    register(None, grams, sig)
+    bands = _bands_from_sig(sig)
+    clusters = minhash_dedup(
+        docs, threshold, ngram, max_bucket_size,
+        checkpoint_dir=checkpoint_dir, grams=grams, sig=sig,
+    )
+    # parquet count-star is metadata-only — a cheap, honest snapshot
+    n_docs = docs.count()
+    return MinHashIndex(bands, clusters, n_docs)
 
 
 def minhash_assign_new(
@@ -615,6 +699,16 @@ def minhash_assign_new(
         raise ValueError(
             "corpus_docs is required for the exact-Jaccard verify "
             "(the index stores bands, not gram payloads)"
+        )
+    if index.is_stale(corpus_docs):
+        import logging  # noqa: PLC0415
+
+        logging.getLogger("portuguese_pt_legal_ner_spark.dedup").warning(
+            "minhash_assign_new: index is stale (built over %s docs, "
+            "corpus now differs) — docs added since the build have no "
+            "bands in the index and their clusters are unreachable; "
+            "rebuild with minhash_index()",
+            index.n_docs,
         )
     new_grams = gram_hash_spine(new_docs, ngram).persist()
     register(persist_registry, new_grams)
@@ -732,8 +826,12 @@ def minhash_md5_dedup(
             _pad_id(F.col("doc_b")).alias("doc_b"),
         )
     )
-    pairs = pairs.localCheckpoint()
-    n_pairs = pairs.count()
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    cnt = Observation()
+    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
+    pairs = pairs.localCheckpoint()  # the count rides the materialization
+    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
     grams.unpersist()
     for df in registry:  # the md5 signature candidate_pairs persisted
         df.unpersist()
@@ -1130,8 +1228,10 @@ def embedding_neardup_clusters(
             _pad_id(F.col("vec_b")).alias("vec_b"),
         )
     )
+    cnt = Observation()
+    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
     pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
-    n_pairs = pairs.count()
+    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
     _log_star_audit(obs, "embedding_neardup_clusters", max_bucket_size)
     emb.unpersist()
     identity = embeddings.select(
@@ -1159,21 +1259,46 @@ class EmbeddingDedupIndex:
     the corpus SRP band table (vec_id, band_idx, band_val) + vec →
     cluster map — the minhash incremental pattern applied to the
     embedding family (build once over the corpus, assign daily
-    increments without re-clustering)."""
+    increments without re-clustering).
 
-    def __init__(self, bands: DataFrame, clusters: DataFrame):
+    `n_vectors` is the staleness fingerprint (the MinHashIndex /
+    IVFIndex contract): vectors added after the build have no bands
+    here, so embedding_assign_new warns when the live corpus count has
+    drifted from the build snapshot."""
+
+    def __init__(self, bands: DataFrame, clusters: DataFrame,
+                 n_vectors: int | None = None):
         self.bands = bands
         self.clusters = clusters
+        self.n_vectors = n_vectors
+
+    def is_stale(self, current: DataFrame) -> bool:
+        """True when the live corpus row count no longer matches the
+        count recorded at build (unknown build count: not provable)."""
+        if self.n_vectors is None:
+            return False
+        return current.count() != self.n_vectors
 
     def save(self, path: str) -> None:
         self.bands.write.mode("overwrite").parquet(f"{path}/bands")
         self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        self.bands.sparkSession.createDataFrame(
+            [(self.n_vectors,)], "n_vectors long"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_embedding_index(spark, path: str) -> EmbeddingDedupIndex:
+    n_vectors = None
+    try:
+        n_vectors = (
+            spark.read.parquet(f"{path}/meta").collect()[0]["n_vectors"]
+        )
+    except Exception:  # noqa: BLE001 — pre-meta index layout; stays unknown
+        pass
     return EmbeddingDedupIndex(
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/clusters"),
+        n_vectors,
     )
 
 
@@ -1195,7 +1320,8 @@ def embedding_index(
     clusters = embedding_neardup_clusters(
         embeddings, threshold, n_bands, seed, max_bucket_size
     )
-    return EmbeddingDedupIndex(bands, clusters)
+    # parquet count-star is metadata-only — a cheap, honest snapshot
+    return EmbeddingDedupIndex(bands, clusters, embeddings.count())
 
 
 def embedding_assign_new(
@@ -1215,6 +1341,16 @@ def embedding_assign_new(
     semi-join with runtime Bloom-filter pushdown into the scan."""
     from .similarity import _srp_bands, cosine_pandas  # noqa: PLC0415
 
+    if index.is_stale(corpus_embeddings):
+        import logging  # noqa: PLC0415
+
+        logging.getLogger("portuguese_pt_legal_ner_spark.dedup").warning(
+            "embedding_assign_new: index is stale (built over %s vectors, "
+            "corpus now differs) — vectors added since the build have no "
+            "bands in the index and their clusters are unreachable; "
+            "rebuild with embedding_index()",
+            index.n_vectors,
+        )
     new_bands = _srp_bands(
         new_embeddings.select("vec_id", "embedding"),
         "vec_id", "embedding", n_bands, seed,

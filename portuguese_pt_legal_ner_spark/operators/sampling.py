@@ -42,8 +42,11 @@ def hash_sample(
     filter or key-fill upstream if those rows matter."""
     if fraction >= 1.0:
         return df
-    cut = max(0, min(256, round(fraction * 256)))
-    threshold = format(cut, "02x")
+    # _hex_cut, not format(): round(fraction*256)==256 for fraction in
+    # ~[0.998, 1) and format(256,'02x') is the 3-char '100', which
+    # sorts BELOW most 2-char prefixes — a silent ~6% sample where the
+    # caller asked for ~all rows
+    threshold = _hex_cut(fraction)
     key_col = F.col(key) if isinstance(key, str) else key
     return df.filter(
         F.substring(F.md5(key_col.cast("string")), 1, 2) < F.lit(threshold)
@@ -127,23 +130,47 @@ def pack_token_bins(
     key: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
-    """(doc_id, shard, n_tokens, bin_id): whitespace token counts
-    packed into `budget`-token bins per shard. bin_id is globally
-    unique (shard-qualified). Deterministic: shard = pmod(key, shards)
-    and in-shard order is the key itself."""
+    """(doc_id, chunk_idx, shard, n_tokens, bin_id): whitespace token
+    counts packed into `budget`-token bins per shard. bin_id is
+    globally unique (shard-qualified). Deterministic: shard =
+    pmod(key, shards) and in-shard order is (key, chunk_idx).
+
+    Documents LONGER than the budget are split into (doc_id,
+    chunk_idx) chunks of at most `budget` tokens BEFORE binning
+    (round-4 verdict: a 50k-token doc must not land whole in one
+    2,048-token bin — real context-window packing chunks long
+    documents first, the truncation-free analog of the reference's
+    512-token cap, /root/reference/src/data.py:179-186). Every chunk
+    fits its bin, so a bin's token sum now overflows the budget by at
+    most budget-1 tokens instead of one unbounded document."""
     # long, not int: the DuckDB oracle's len() is BIGINT and the
     # driver's schema check compares dtypes. NULL text counts as zero
     # tokens (the row still gets a bin) — a crawl corpus has null rows
     # and silently nulling bin_id would drop them from training.
-    toks = F.coalesce(
+    total = F.coalesce(
         F.size(F.split(F.trim(F.col(text)), r"\s+")).cast("long"), F.lit(0)
     )
-    shard = F.pmod(F.col(key), F.lit(shards))
-    w = Window.partitionBy(shard).orderBy(key)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"), F.ceil(total / F.lit(budget))
+    )
+    chunked = docs.select(
+        F.col(key).alias("doc_id"),
+        total.alias("_total"),
+        n_chunks.alias("_nc"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_idx"),
+    )
+    toks = F.when(
+        F.col("chunk_idx") < F.col("_nc") - 1, F.lit(budget).cast("long")
+    ).otherwise(F.col("_total") - (F.col("_nc") - 1) * F.lit(budget))
+    shard = F.pmod(F.col("doc_id"), F.lit(shards))
+    w = Window.partitionBy(shard).orderBy("doc_id", "chunk_idx")
     cum = F.sum(toks).over(w)
     local_bin = F.floor((cum - toks) / F.lit(budget))
-    return docs.select(
-        F.col(key).alias("doc_id"),
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
         shard.alias("shard"),
         toks.alias("n_tokens"),
         (shard * F.lit(1_000_000) + local_bin).alias("bin_id"),

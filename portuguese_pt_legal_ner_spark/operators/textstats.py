@@ -49,6 +49,30 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_score", F.round(best["score"], 6))
 
 
+def quality_score_col(text: Column) -> Column:
+    """The composite [0,1] quality score as a reusable column
+    expression (engine-neutral arithmetic — a DuckDB oracle reproduces
+    it term-for-term): reward lexical diversity + sane token lengths,
+    penalize punctuation soup; clamped to [0, 1]."""
+    toks = tokens_col(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!?]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tokens
+    )
+    return F.least(
+        F.greatest(
+            0.5 * distinct_ratio
+            + 0.3 * F.least(mean_tok_len / 8.0, F.lit(1.0))
+            + 0.2 * (1.0 - punct.cast("double") / n_chars),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + a composite [0,1] quality_score:
     the filters a pretraining corpus pipeline applies before training."""
@@ -64,17 +88,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = (
         _stopword_hits(toks, LANG_STOPWORDS["en"]).cast("double") / n_tokens
     )
-    # composite: reward lexical diversity + sane token lengths,
-    # penalize punctuation soup; clamped to [0, 1]
-    score = F.least(
-        F.greatest(
-            0.5 * distinct_ratio
-            + 0.3 * F.least(mean_tok_len / 8.0, F.lit(1.0))
-            + 0.2 * (1.0 - punct.cast("double") / n_chars),
-            F.lit(0.0),
-        ),
-        F.lit(1.0),
-    )
+    score = quality_score_col(text)
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),

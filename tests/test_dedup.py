@@ -590,3 +590,70 @@ def test_exact_dedup_normalized(spark):
     assert norm == {1: 3, 4: 1}
     # byte-exact sees them all as distinct
     assert all(r["n_copies"] == 1 for r in exact_dedup(docs).collect())
+
+
+def test_minhash_index_staleness_warns_on_drift(spark, caplog):
+    """The incremental index records the corpus row count at build;
+    assigning against a since-grown corpus logs a staleness warning
+    (docs added after the build have no bands in the index) — the
+    IVFIndex contract extended to the minhash family."""
+    import logging
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        minhash_assign_new,
+        minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body number {i} " * 5) for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, threshold=0.8)
+    assert idx.n_docs == 6
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(100, "fresh appended text " * 5)], "doc_id long, text string"
+        )
+    )
+    assert idx.is_stale(grown) and not idx.is_stale(corpus)
+    new_docs = spark.createDataFrame(
+        [(200, "another increment " * 5)], "doc_id long, text string"
+    )
+    with caplog.at_level(logging.WARNING, "portuguese_pt_legal_ner_spark.dedup"):
+        minhash_assign_new(idx, new_docs, corpus_docs=grown).collect()
+    assert any("stale" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "portuguese_pt_legal_ner_spark.dedup"):
+        minhash_assign_new(idx, new_docs, corpus_docs=corpus).collect()
+    assert not any("stale" in r.message for r in caplog.records)
+
+
+def test_embedding_index_staleness_warns_on_drift(spark, caplog, tmp_path):
+    """Same staleness contract for the embedding family, including the
+    save/load round-trip of the fingerprint."""
+    import logging
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        embedding_assign_new,
+        embedding_index,
+        load_embedding_index,
+    )
+
+    rows = [(i, [float(i == j) for j in range(64)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = embedding_index(emb, threshold=0.9)
+    assert idx.n_vectors == 5
+    idx.save(str(tmp_path / "eidx"))
+    idx2 = load_embedding_index(spark, str(tmp_path / "eidx"))
+    assert idx2.n_vectors == 5
+    grown = emb.unionByName(
+        spark.createDataFrame(
+            [(99, [0.5] * 64)], "vec_id long, embedding array<float>"
+        )
+    )
+    new_vecs = spark.createDataFrame(
+        [(50, [1.0] + [0.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    with caplog.at_level(logging.WARNING, "portuguese_pt_legal_ner_spark.dedup"):
+        embedding_assign_new(idx2, new_vecs, grown).collect()
+    assert any("stale" in r.message for r in caplog.records)

@@ -153,3 +153,39 @@ def test_null_rows_policy(spark):
     )
     kept = {r["doc_id"] for r in hash_sample(nullkey, "doc_id", 0.99).collect()}
     assert None not in kept
+
+
+def test_hash_sample_near_full_fraction_not_undersampled(spark, docs):
+    """fraction just below 1.0 rounds to cut=256; format(256,'02x') is
+    the 3-char '100', which sorts BELOW most 2-char md5 prefixes — the
+    old code silently kept ~6% of rows. _hex_cut maps cut>=256 to 'zz'
+    (above every hex prefix), so ~all rows survive."""
+    n = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.999).count()
+    assert kept == n
+
+
+def test_pack_token_bins_splits_long_docs(spark):
+    """A document longer than the budget is split into (doc_id,
+    chunk_idx) chunks of at most `budget` tokens before binning —
+    full-size chunks then the remainder; short docs stay one chunk."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(25))),   # 25 toks -> 3 chunks
+            (2, "a b c"),                                # 1 chunk
+            (3, " ".join(f"x{i}" for i in range(10))),   # exactly budget
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_token_bins(docs, budget=10, shards=1).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"])
+        )
+        assert r["n_tokens"] <= 10  # every chunk fits a bin
+    assert sorted(by_doc[1]) == [(0, 10), (1, 10), (2, 5)]
+    assert sorted(by_doc[2]) == [(0, 3)]
+    assert sorted(by_doc[3]) == [(0, 10)]  # exact multiple: no empty tail
+    # token mass is conserved — nothing truncated
+    assert sum(t for chunks in by_doc.values() for _, t in chunks) == 38
