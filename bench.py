@@ -132,7 +132,9 @@ def main() -> None:
         "doc_stratified_sample",
         "doc_mixture_upsample",
         "doc_pack_bins",
+        "doc_curation",
         "stream_events_windowed",
+        "stream_neardup_pairs",
         "dedup_simhash",
         "ngram_jaccard",
         "dedup_embedding",

@@ -554,6 +554,36 @@ def ivf_index(
     return IVFIndex(cents, cells, n_vectors)
 
 
+def ivf_append(index: IVFIndex, new_embeddings: DataFrame) -> IVFIndex:
+    """Append NEW vectors to a built IVF index without retraining:
+    assign them to the EXISTING centroids (one closure-captured matmul
+    pass over the increment only — never the indexed corpus) and union
+    the cell assignment. Returns a new IVFIndex whose `n_vectors`
+    fingerprint covers the grown snapshot, so a daily-embedding
+    pipeline alternates ivf_append()/ivf_probe() without tripping the
+    staleness warning — the IVF analog of minhash_assign_new /
+    embedding_assign_new (build once, extend by increments).
+
+    The centroids do NOT move: recall degrades gracefully as the data
+    distribution drifts from the training sample (standard IVF
+    semantics — FAISS add() behaves the same way); rebuild with
+    ivf_index() when drift matters. The appended cells ride a fresh
+    persist; the old index's cache is released (its blocks would
+    otherwise leak in a long-lived driver)."""
+    from .dedup import _ensure_parallelism  # noqa: PLC0415
+
+    emb = _ensure_parallelism(new_embeddings)
+    new_cells = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _nearest_cell(F.col("embedding"), index.centroids).alias("cell"),
+    )
+    grown = index.cells.unionByName(new_cells).persist()
+    n_vectors = grown.count()  # materializes the persist + new fingerprint
+    index.unpersist()
+    return IVFIndex(index.centroids, grown, n_vectors)
+
+
 def ivf_probe(
     index: IVFIndex,
     queries: DataFrame,

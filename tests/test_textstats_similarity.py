@@ -415,3 +415,33 @@ def test_approx_percentile_tracks_exact(spark):
             # the sketch is near-exact — allow 5% value slack for the
             # nearest-item (non-interpolating) semantics
             assert abs(a - e) <= max(0.05 * e, 2.0), (lang, e, a)
+
+
+def test_ivf_append_extends_index_without_retrain(spark, emb, queries):
+    """Incremental IVF maintenance: new vectors are assigned to the
+    EXISTING centroids and become probe-reachable; the staleness
+    fingerprint covers the grown snapshot (so append→probe does not
+    warn), and the centroids themselves are untouched."""
+    from portuguese_pt_legal_ner_spark.operators.similarity import (
+        ivf_append,
+        ivf_index,
+        ivf_probe,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    n_extra = extra.count()
+    assert n_extra > 0  # fixture must actually split
+    idx = ivf_index(base, n_cells=8, iters=2, seed=42)
+    assert idx.is_stale(emb)  # built over the subset
+    grown = ivf_append(idx, extra)
+    assert grown.n_vectors == emb.count()
+    assert not grown.is_stale(emb)  # fingerprint covers the append
+    assert grown.centroids == idx.centroids  # no retrain
+    # appended vectors are reachable: probing with FULL coverage must
+    # surface at least one appended vec_id among the neighbors
+    hits = {
+        r["cid"]
+        for r in ivf_probe(grown, queries, k=10, nprobe=8).collect()
+    }
+    assert hits & {r["vec_id"] for r in extra.select("vec_id").collect()}
