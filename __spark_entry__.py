@@ -1526,6 +1526,51 @@ _DEDUP_SIMHASH_MD5_PAIRS_SQL = (
 )
 
 
+def _q_dedup_simhash_md5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL simhash clustering path, SQL-value-checked end to end:
+    md5 simhash → banded blocking → hamming verify → connected
+    components → numeric-min cluster representative; DuckDB replays the
+    components with a recursive transitive-closure CTE (the
+    dedup_minhash_md5_clusters pattern for the simhash family — the
+    xxhash64 `simhash_dedup` is the production twin)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import simhash_md5_dedup  # noqa: PLC0415
+
+    return simhash_md5_dedup(
+        _load(spark, sf_dir, "documents"), max_hamming=3, n_bands=4
+    )
+
+
+_DEDUP_SIMHASH_MD5_CLUSTERS_SQL = (
+    _SIMHASH_MD5_CTE.replace("WITH tok AS", "WITH RECURSIVE tok AS")
+    + ", bands AS (\n"
+    + "  UNION ALL\n".join(
+        f"  SELECT doc_id, sim, {b} AS band_idx,"
+        f" (sim >> {b * 8}) & 255 AS band_val FROM s\n"
+        for b in range(4)
+    )
+    + """),
+ver AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= 3
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION ALL SELECT doc_b, doc_a FROM ver
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)"""
+)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; pytest-gated)."""
     from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
@@ -1832,6 +1877,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,
+        "dedup_simhash_md5_clusters": _q_dedup_simhash_md5_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
         "ann_srp_topk": _q_ann_srp_topk,
@@ -1885,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": _DOC_CURATION_SQL,
         "dedup_simhash_md5": _DEDUP_SIMHASH_MD5_SQL,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
+        "dedup_simhash_md5_clusters": _DEDUP_SIMHASH_MD5_CLUSTERS_SQL,
         # the stream computes the SAME md5 simhash family in-stream;
         # with the full corpus inside the horizon its finalized pair
         # set equals the batch blocking path, so the batch oracle

@@ -449,38 +449,17 @@ def minhash_dedup(
         _pad_id(F.col("doc_a")).alias("doc_a"),
         _pad_id(F.col("doc_b")).alias("doc_b"),
     )
-    # the pair count rides the eager checkpoint materialization as an
-    # observed metric instead of a second count() job — at bench scale
-    # the query was ~5 small sequential driver jobs and each extra
-    # action costs fixed scheduling; a 100-TB driver pays the same tax
-    cnt = Observation()
-    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
-    pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
-    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
+    # _clusters_from_pairs folds the pair count into the checkpoint
+    # materialization (observed metric, not a second count() job) and
+    # handles the zero-pair identity + size-gated CC + join-back tail
+    out = _clusters_from_pairs(docs, pairs, checkpoint_dir)
     if obs is not None:
         # default no-silent-caps audit: the star metrics rode the
         # checkpoint materialization — no extra job
         _log_star_audit(obs, "minhash_dedup", max_bucket_size)
     for df in registry:
         df.unpersist()
-    identity = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
-    if n_pairs == 0:
-        return identity
-    comps = _components_for(pairs, n_pairs, checkpoint_dir)
-    all_docs = docs.select(
-        "doc_id", _pad_id(F.col("doc_id")).alias("node")
-    )
-    return (
-        all_docs.join(comps, "node", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("node"))
-            .cast("long")
-            .alias("cluster_id"),
-        )
-    )
+    return out
 
 
 def _components_for(
@@ -826,28 +805,11 @@ def minhash_md5_dedup(
             _pad_id(F.col("doc_b")).alias("doc_b"),
         )
     )
-    from pyspark.sql import Observation  # noqa: PLC0415
-
-    cnt = Observation()
-    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
-    pairs = pairs.localCheckpoint()  # the count rides the materialization
-    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
+    out = _clusters_from_pairs(docs, pairs, None)
     grams.unpersist()
     for df in registry:  # the md5 signature candidate_pairs persisted
         df.unpersist()
-    if n_pairs == 0:
-        return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    comps = _components_for(pairs, n_pairs, None)
-    return (
-        docs.select("doc_id", _pad_id(F.col("doc_id")).alias("node"))
-        .join(comps, "node", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("node"))
-            .cast("long")
-            .alias("cluster_id"),
-        )
-    )
+    return out
 
 
 _HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
@@ -1041,6 +1003,7 @@ def simhash_neardup_pairs(
     n_bands: int = 4,
     persist_registry: list[DataFrame] | None = None,
     star_observation=None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ k,
     blocked on `n_bands` equal bit-slices of the 64-bit simhash.
@@ -1063,9 +1026,10 @@ def simhash_neardup_pairs(
     mask = (1 << width) - 1
     # persisted: the split's bucket-size aggregate and both self-join
     # sides re-reference the aggregate through `bands` (slim: 2 longs
-    # per doc)
-    sh = simhash_table(docs).persist()
-    register(persist_registry, sh)
+    # per doc); a caller-provided `sh` (index build) keeps ownership
+    if sh is None:
+        sh = simhash_table(docs).persist()
+        register(persist_registry, sh)
     # the sim word (ONE long, like minhash's n_sh) RIDES the band
     # exchange, so the hamming verify needs no re-attach joins — and
     # the pair dedup moves AFTER the hamming filter, an exchange on the
@@ -1111,6 +1075,237 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _clusters_from_pairs(
+    docs: DataFrame, pairs: DataFrame, checkpoint_dir: str | None
+) -> DataFrame:
+    """(doc_id, cluster_id) from a padded thresholded pair set: observed
+    count riding the eager checkpoint, size-gated components, numeric-
+    min representative, singletons mapping to themselves — the shared
+    tail of every *_dedup clustering operator."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    cnt = Observation()
+    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
+    pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
+    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
+    if n_pairs == 0:
+        return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    comps = _components_for(pairs, n_pairs, checkpoint_dir)
+    return (
+        docs.select("doc_id", _pad_id(F.col("doc_id")).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    checkpoint_dir: str | None = None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) simhash near-dup clusters — hamming-
+    verified banded pairs (simhash_neardup_pairs, xxhash64 production
+    family) merged by connected components; cluster_id = NUMERIC min
+    doc_id, singletons map to themselves (the minhash_dedup contract
+    for the simhash family; the md5 twin `simhash_md5_dedup` carries
+    the SQL oracle)."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    registry: list[DataFrame] = []
+    obs = Observation()
+    pairs = simhash_neardup_pairs(
+        docs, max_hamming, n_bands, persist_registry=registry,
+        star_observation=obs, sh=sh,
+    ).select(
+        _pad_id(F.col("doc_a")).alias("doc_a"),
+        _pad_id(F.col("doc_b")).alias("doc_b"),
+    )
+    out = _clusters_from_pairs(docs, pairs, checkpoint_dir)
+    _log_star_audit(obs, "simhash_dedup", MAX_BAND_BUCKET)
+    for df in registry:
+        df.unpersist()
+    return out
+
+
+def simhash_md5_dedup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, cluster_id) — the FULL simhash clustering path in
+    engine-neutral md5 arithmetic: banded blocking → hamming verify →
+    connected components → numeric-min representative, so the whole
+    chain carries a cross-engine SQL oracle (DuckDB replays the
+    components with a recursive transitive-closure CTE, exactly like
+    `minhash_md5_dedup` does for the minhash family)."""
+    registry: list[DataFrame] = []
+    pairs = simhash_md5_neardup_pairs(
+        docs, max_hamming, n_bands, bits, persist_registry=registry
+    ).select(
+        _pad_id(F.col("doc_a")).alias("doc_a"),
+        _pad_id(F.col("doc_b")).alias("doc_b"),
+    )
+    out = _clusters_from_pairs(docs, pairs, None)
+    for df in registry:
+        df.unpersist()
+    return out
+
+
+class SimHashIndex:
+    """Persisted state for INCREMENTAL simhash near-dup assignment:
+    the corpus band table (doc_id, sim, band_idx, band_val) + the
+    doc→cluster map — the MinHashIndex pattern for the simhash family,
+    with one structural advantage: the 64-bit sim word RIDES the band
+    table, so assigning an increment needs NO corpus text at all (the
+    hamming verify reads the sim straight off the banded join;
+    minhash_assign_new must re-shingle matched corpus docs).
+
+    `n_docs` is the build-snapshot staleness fingerprint; `n_bands`
+    pins the banding so assigns always slice the increment the same
+    way the index was built."""
+
+    def __init__(
+        self,
+        bands: DataFrame,
+        clusters: DataFrame,
+        n_bands: int = 4,
+        n_docs: int | None = None,
+    ):
+        self.bands = bands
+        self.clusters = clusters
+        self.n_bands = n_bands
+        self.n_docs = n_docs
+
+    def is_stale(self, current: DataFrame) -> bool:
+        if self.n_docs is None:
+            return False
+        return current.count() != self.n_docs
+
+    def save(self, path: str) -> None:
+        self.bands.write.mode("overwrite").parquet(f"{path}/bands")
+        self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        self.bands.sparkSession.createDataFrame(
+            [(self.n_docs, self.n_bands)], "n_docs long, n_bands int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_simhash_index(spark, path: str) -> SimHashIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return SimHashIndex(
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/clusters"),
+        meta["n_bands"],
+        meta["n_docs"],
+    )
+
+
+def simhash_index(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    checkpoint_dir: str | None = None,
+) -> SimHashIndex:
+    """Build the incremental simhash index: ONE simhash pass (the
+    persisted sim table feeds both the band table and the clustering),
+    corpus row count recorded as the staleness fingerprint. Persisted
+    intermediates go to the module cache tracker (drain with
+    cache.release_tracked() after save())."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sh = simhash_table(docs).persist()
+    register(None, sh)
+    bands = _sim_bands_sql(sh, n_bands, width, mask)
+    clusters = simhash_dedup(
+        docs, max_hamming, n_bands, checkpoint_dir=checkpoint_dir, sh=sh
+    )
+    return SimHashIndex(bands, clusters, n_bands, docs.count())
+
+
+def simhash_assign_new(
+    index: SimHashIndex,
+    new_docs: DataFrame,
+    max_hamming: int = 3,
+    current: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) for NEW documents against a built simhash
+    index: a new doc joins the cluster of its best (lowest-hamming,
+    ties → smallest cluster_id) in-threshold corpus near-dup, or
+    founds its own cluster. The increment band-joins the index (equi-
+    join on the band key — never a corpus self-join) and the hamming
+    verify runs entirely on the sim words the index already stores —
+    zero corpus re-reads, the cheapest incremental verify of the three
+    dedup families. Pass `current` (the live corpus) to get the
+    staleness drift warning."""
+    if max_hamming > index.n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"bound of n_bands-1={index.n_bands - 1} for this index"
+        )
+    if current is not None and index.is_stale(current):
+        import logging  # noqa: PLC0415
+
+        logging.getLogger("portuguese_pt_legal_ner_spark.dedup").warning(
+            "simhash_assign_new: index is stale (built over %s docs, "
+            "corpus now differs) — docs added since the build have no "
+            "bands in the index; rebuild with simhash_index()",
+            index.n_docs,
+        )
+    width = 64 // index.n_bands
+    mask = (1 << width) - 1
+    new_bands = _sim_bands_sql(
+        simhash_table(new_docs), index.n_bands, width, mask
+    )
+    matched = (
+        new_bands.select(
+            F.col("doc_id").alias("new_id"), F.col("sim").alias("_sn"),
+            "band_idx", "band_val",
+        )
+        .join(
+            index.bands.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("sim").alias("_sc"),
+                "band_idx",
+                "band_val",
+            ),
+            ["band_idx", "band_val"],
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sn").bitwiseXOR(F.col("_sc")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .join(
+            index.clusters.select(
+                F.col("doc_id").alias("corpus_id"), "cluster_id"
+            ),
+            "corpus_id",
+        )
+        .groupBy("new_id")
+        .agg(
+            F.min(F.struct("hamming", "cluster_id"))["cluster_id"].alias(
+                "cluster_id"
+            )
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(matched.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
     )
 
 
@@ -1228,30 +1423,13 @@ def embedding_neardup_clusters(
             _pad_id(F.col("vec_b")).alias("vec_b"),
         )
     )
-    cnt = Observation()
-    pairs = pairs.observe(cnt, F.count(F.lit(1)).alias("n_pairs"))
-    pairs = _reliable_or_local_checkpoint(pairs, checkpoint_dir)
-    n_pairs = _observed_count_or_recount(cnt, "n_pairs", pairs)
+    out = _clusters_from_pairs(
+        embeddings.select(F.col("vec_id").alias("doc_id")), pairs,
+        checkpoint_dir,
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
     _log_star_audit(obs, "embedding_neardup_clusters", max_bucket_size)
     emb.unpersist()
-    identity = embeddings.select(
-        "vec_id", F.col("vec_id").alias("cluster_id")
-    )
-    if n_pairs == 0:
-        return identity
-    comps = _components_for(pairs, n_pairs, checkpoint_dir)
-    all_vecs = embeddings.select(
-        "vec_id", _pad_id(F.col("vec_id")).alias("node")
-    )
-    return (
-        all_vecs.join(comps, "node", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("component"), F.col("node"))
-            .cast("long")
-            .alias("cluster_id"),
-        )
-    )
+    return out
 
 
 class EmbeddingDedupIndex:

@@ -657,3 +657,77 @@ def test_embedding_index_staleness_warns_on_drift(spark, caplog, tmp_path):
     with caplog.at_level(logging.WARNING, "portuguese_pt_legal_ner_spark.dedup"):
         embedding_assign_new(idx2, new_vecs, grown).collect()
     assert any("stale" in r.message for r in caplog.records)
+
+
+def test_simhash_dedup_clusters_planted(spark):
+    """The simhash clustering operator: exact copies and a 1-word edit
+    merge into one cluster with the numeric-min representative;
+    unrelated docs stay singletons (the minhash_dedup contract applied
+    to the simhash family)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import simhash_dedup
+
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR), (4, "short text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in simhash_dedup(docs, max_hamming=7, n_bands=8).collect()
+    }
+    assert clusters[0] == clusters[1] == 0
+    assert clusters[3] == 3
+    assert clusters[4] == 4
+
+
+def test_simhash_index_assign_and_staleness(spark, caplog, tmp_path):
+    """Incremental simhash assignment: a new near-dup joins the
+    existing cluster THROUGH the index bands alone (no corpus text is
+    re-read — the sim word rides the band table), a novel doc founds
+    its own cluster, the index save/load round-trips its banding and
+    fingerprint, and assigning against a drifted corpus warns."""
+    import logging
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        load_simhash_index,
+        simhash_assign_new,
+        simhash_index,
+    )
+
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = simhash_index(corpus, max_hamming=7, n_bands=8)
+    assert idx.n_docs == 4
+    idx.save(str(tmp_path / "shidx"))
+    idx2 = load_simhash_index(spark, str(tmp_path / "shidx"))
+    assert (idx2.n_docs, idx2.n_bands) == (4, 8)
+
+    new_docs = spark.createDataFrame(
+        [(100, BASE), (101, "totally novel content about unrelated affairs")],
+        "doc_id long, text string",
+    )
+    assigned = {
+        r["doc_id"]: r["cluster_id"]
+        for r in simhash_assign_new(idx2, new_docs, max_hamming=7).collect()
+    }
+    assert assigned[100] == 0    # joined the BASE cluster via the index
+    assert assigned[101] == 101  # founded its own
+
+    grown = corpus.unionByName(
+        spark.createDataFrame([(50, "appended later")], "doc_id long, text string")
+    )
+    with caplog.at_level(logging.WARNING, "portuguese_pt_legal_ner_spark.dedup"):
+        simhash_assign_new(idx2, new_docs, max_hamming=7, current=grown).collect()
+    assert any("stale" in r.message for r in caplog.records)
+
+
+def test_simhash_assign_pigeonhole_enforced(spark):
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        SimHashIndex,
+        simhash_assign_new,
+    )
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, sim long, band_idx int, band_val long")
+    clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    idx = SimHashIndex(empty, clusters, n_bands=4)
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_assign_new(idx, docs, max_hamming=4)
