@@ -1775,6 +1775,28 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/maintenance.py): rewrite the
+    documents table into target-size, doc_id-range-clustered files and
+    read the result back — the oracle is the SOURCE table itself, so
+    the value-hash proves compaction is content-preserving (file-layout
+    properties — fewer files, disjoint sorted key ranges — are
+    pytest-gated in test_maintenance.py)."""
+    from portuguese_pt_legal_ner_spark.operators.maintenance import (  # noqa: PLC0415
+        compact_parquet,
+    )
+
+    base = _scratch_dir("sg_compact_")
+    compact_parquet(
+        spark, f"{sf_dir}/documents.parquet", f"{base}/out",
+        target_mb=8, sort_by=["doc_id"],
+    )
+    return spark.read.parquet(f"{base}/out")
+
+
+_MAINTENANCE_COMPACT_SQL = "SELECT * FROM documents"
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthetic assets → Arrow-
     batched feature extraction with the deterministic fake codec
@@ -1884,6 +1906,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_probe": _q_ann_ivf_probe,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
+        "maintenance_compact": _q_maintenance_compact,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -1937,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         # set equals the batch blocking path, so the batch oracle
         # value-checks the streaming engine's output
         "stream_neardup_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
+        "maintenance_compact": _MAINTENANCE_COMPACT_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_threshold_count": _ANN_SQL,
