@@ -1571,6 +1571,18 @@ FROM documents d LEFT JOIN comp c USING (doc_id)"""
 )
 
 
+def _q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production simhash clustering (xxhash64 family; rows-only — the
+    engine-specific hash has no cross-engine twin; the md5 variant
+    `dedup_simhash_md5_clusters` carries the SQL oracle and pytest
+    plants dups for this one)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import simhash_dedup  # noqa: PLC0415
+
+    return simhash_dedup(
+        _load(spark, sf_dir, "documents"), max_hamming=7, n_bands=8
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; pytest-gated)."""
     from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
@@ -1900,6 +1912,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,
         "dedup_simhash_md5_clusters": _q_dedup_simhash_md5_clusters,
+        "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
         "ann_srp_topk": _q_ann_srp_topk,

@@ -143,6 +143,7 @@ def main() -> None:
         "ann_ivf_topk",
         "ann_ivf_probe",
         "multimodal_features",
+        "maintenance_compact",
     ]
     # ann_ivf_probe measures the steady-state probe against the index
     # ann_ivf_topk just built (build/probe separation, verdict r2 item

@@ -14,7 +14,10 @@ each pure-DataFrame (no Python UDFs) so they ride whole-stage codegen:
                  hamming distance ≤ k, blocked on n_bands bit-slices
                  with the pigeonhole recall bound k ≤ n_bands-1
                  ENFORCED (a pair within hamming ≤ n_bands-1 must
-                 agree on at least one band).
+                 agree on at least one band); clustering + an
+                 incremental index (simhash_dedup / SimHashIndex —
+                 assigns re-read NO corpus text: the sim word rides
+                 the band table).
   n-gram Jaccard — direct verify for candidate pairs (the verifier
                  minhash calls; also exposed standalone).
   embedding cosine — near-dup pairs over `embeddings` via signed-
