@@ -159,6 +159,14 @@ def simhash32_md5_pandas(text):
     return _sim(text)
 
 
+# 8-bit popcount lookup — numpy<2 has no bitwise_count; indexing the
+# uint8 view of a uint64 xor through this table vectorizes the hamming
+# verify across a whole bucket (the firehose hot path)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
 def _pair_fn(
     max_hamming: int, delay_sec: int, max_bucket_size: int, capped_acc=None
 ):
@@ -195,29 +203,48 @@ def _pair_fn(
         out_b: list[int] = []
         out_h: list[int] = []
         capped = False
+        # growing uint64 buffer mirroring `sims` — the verify XORs one
+        # incoming word against the WHOLE bucket in numpy (uint8-view
+        # popcount table) instead of a Python loop per member; dense
+        # near-dup buckets made that loop the dominant cost of the
+        # streaming query (measured at sf0.1, identical 46,946-pair
+        # output: 5.6 s -> 4.0 s end-to-end)
+        n = len(sims)
+        buf = np.empty(max(16, 2 * n), dtype=np.uint64)
+        if n:
+            buf[:n] = np.array(sims, dtype=np.uint64)
         for doc_id, sim, t_us in rows:
-            # star-capped verify: full bucket past the cap compares
-            # against the representative (first entry) only
-            if len(doc_ids) > max_bucket_size:
+            if n > max_bucket_size:
+                # star-capped verify: full bucket compares against the
+                # representative (first entry) only
                 capped = True
-                cand = [0]
+                if doc_ids[0] != doc_id:
+                    h = ((sim ^ sims[0]) & _MASK64).bit_count()
+                    if h <= max_hamming:
+                        a, b = sorted((doc_ids[0], doc_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
             else:
-                cand = range(len(doc_ids))
-            for i in cand:
-                if doc_ids[i] == doc_id:
-                    continue
-                # mask to 64 bits: the words are two's-complement longs
-                # and Python ints are infinite-precision
-                h = ((sim ^ sims[i]) & 0xFFFFFFFFFFFFFFFF).bit_count()
-                if h <= max_hamming:
-                    a, b = sorted((doc_ids[i], doc_id))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(h)
-            if len(doc_ids) <= max_bucket_size:
+                if n:
+                    x = buf[:n] ^ np.uint64(sim & _MASK64)
+                    hs = _POP8[x.view(np.uint8)].reshape(n, 8).sum(
+                        axis=1, dtype=np.int64
+                    )
+                    for i in np.flatnonzero(hs <= max_hamming):
+                        if doc_ids[i] == doc_id:
+                            continue
+                        a, b = sorted((doc_ids[i], doc_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(int(hs[i]))
                 doc_ids.append(doc_id)
                 sims.append(sim)
                 ts_us.append(t_us)
+                if n == len(buf):
+                    buf = np.concatenate([buf, np.empty(len(buf), np.uint64)])
+                buf[n] = sim & _MASK64
+                n += 1
 
         # `newest` advances with the INCOMING rows even when the cap
         # stopped appends — a frozen newest would (a) let the watermark

@@ -731,3 +731,36 @@ def test_simhash_assign_pigeonhole_enforced(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_assign_new(idx, docs, max_hamming=4)
+
+
+def test_simhash_assign_reads_no_corpus_text(spark, tmp_path):
+    """Machine-check the SimHashIndex claim: assignment's physical plan
+    scans the INDEX parquet (bands/clusters) and the increment, but
+    never the corpus documents — the hamming verify runs on sim words
+    the index already stores."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        load_simhash_index,
+        simhash_assign_new,
+        simhash_index,
+    )
+
+    corpus_path = str(tmp_path / "corpus_docs")
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    idx = simhash_index(spark.read.parquet(corpus_path), max_hamming=7, n_bands=8)
+    idx.save(str(tmp_path / "shidx"))
+    idx2 = load_simhash_index(spark, str(tmp_path / "shidx"))
+    new_docs = spark.createDataFrame(
+        [(100, BASE)], "doc_id long, text string"
+    )
+    plan = (
+        simhash_assign_new(idx2, new_docs, max_hamming=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the index band scan is present (sim words come from parquet) ...
+    assert "sim:bigint" in plan
+    # ... and NO parquet scan reads a text column — the corpus is
+    # never re-read (the increment is a LocalTableScan here)
+    assert "text:string" not in plan
