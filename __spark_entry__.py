@@ -1415,7 +1415,7 @@ def _q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOC_CURATION_SQL = """
+_CURATION_SURVIVOR_CTE = """
 WITH kept AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
@@ -1438,7 +1438,9 @@ WITH kept AS (
   SELECT doc_id, text FROM scored
   WHERE round(q, 6) >= 0.55
     AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
-), tok AS (
+)"""
+
+_DOC_CURATION_SQL = _CURATION_SURVIVOR_CTE + """, tok AS (
   SELECT doc_id, doc_id % 16 AS shard,
          coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS total_tokens
   FROM sampled
@@ -1787,6 +1789,47 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation executed BY THE STREAMING ENGINE: documents
+    replayed as an event stream, watermark-bounded exact dedup (first
+    arrival = min doc_id under this replay order) → in-stream quality
+    gate → deterministic 50% sample. With every doc inside the horizon
+    the admitted set equals the batch pipeline's pre-packing survivor
+    set, so the oracle is the batch curation SQL's survivor CTE —
+    the streaming curation tier is value-checked like the batch one."""
+    import os  # noqa: PLC0415
+
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate  # noqa: PLC0415
+
+    base = _scratch_dir("sg_stream_cur_")
+    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
+    os.makedirs(inp)
+    (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        )
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream_curate(
+            spark, inp, out, ckp, quality_threshold=0.55,
+            sample_fraction=0.5, delay="365 days",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select("doc_id")
+
+
+_STREAM_CURATION_SQL = _CURATION_SURVIVOR_CTE + "\nSELECT doc_id FROM sampled"
+
+
 def _q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (operators/maintenance.py): rewrite the
     documents table into target-size, doc_id-range-clustered files and
@@ -1919,6 +1962,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_probe": _q_ann_ivf_probe,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
+        "stream_curation": _q_stream_curation,
         "maintenance_compact": _q_maintenance_compact,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1973,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         # set equals the batch blocking path, so the batch oracle
         # value-checks the streaming engine's output
         "stream_neardup_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
+        "stream_curation": _STREAM_CURATION_SQL,
         "maintenance_compact": _MAINTENANCE_COMPACT_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

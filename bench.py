@@ -135,6 +135,7 @@ def main() -> None:
         "doc_curation",
         "stream_events_windowed",
         "stream_neardup_pairs",
+        "stream_curation",
         "dedup_simhash",
         "ngram_jaccard",
         "dedup_embedding",

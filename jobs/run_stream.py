@@ -15,6 +15,9 @@ Modes:
     dedup     — watermark-bounded exact key dedup (events)
     neardup   — in-stream simhash near-dup pairing, star-capped
                 watermark-bounded bucket state (documents with ts)
+    curate    — streaming corpus curation: watermark-bounded exact
+                text dedup + quality gate + deterministic sample
+                (documents with ts)
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def _parse_delay_sec(delay: str) -> int:
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("mode", choices=["windowed", "sessions", "dedup", "neardup"])
+    parser.add_argument("mode", choices=["windowed", "sessions", "dedup", "neardup", "curate"])
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--checkpoint", required=True)
@@ -61,6 +64,10 @@ def main() -> None:
                         help="near-dup state horizon in seconds; default "
                         "derived from --delay so the watermark and the "
                         "bucket prune/timeout horizon always agree")
+    parser.add_argument("--quality", type=float, default=0.55,
+                        help="curate mode: quality_score gate")
+    parser.add_argument("--fraction", type=float, default=1.0,
+                        help="curate mode: deterministic sample fraction")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
 
@@ -88,6 +95,16 @@ def main() -> None:
 
         stream_dedup(spark, args.input, args.output, args.checkpoint,
                      keys=tuple(args.keys.split(",")), delay=args.delay)
+    elif args.mode == "curate":
+        from portuguese_pt_legal_ner_spark.streaming.curation import (
+            stream_curate,
+        )
+
+        stream_curate(
+            spark, args.input, args.output, args.checkpoint,
+            quality_threshold=args.quality, sample_fraction=args.fraction,
+            delay=args.delay,
+        )
     else:
         from portuguese_pt_legal_ner_spark.streaming.neardup import (
             stream_neardup_pairs,

@@ -539,3 +539,77 @@ def test_stream_neardup_flood_across_horizon_keeps_rep(spark, tmp_path):
     # the representative (doc 0) survived the whole flood: every
     # last-run doc still pairs with it — no state reset mid-flood
     assert all((0, 40 + j) in pairs for j in range(6))
+
+
+def test_stream_curate_dedup_gate_and_restart(spark, tmp_path):
+    """Streaming curation: first-seen text admitted once (state in the
+    checkpoint across runs), exact re-serializations dropped, the
+    quality gate rejects punctuation soup in-stream."""
+    from datetime import datetime, timedelta
+
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+    )
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    good = "a broad mixture of longer distinct tokens flowing naturally " * 2
+    soup = ".,;:!? .,;:!? .,;:!? .,;:!?"
+    t0 = datetime(2024, 1, 1, 12, 0)
+
+    r1 = [
+        (1, t0, good),
+        (2, t0 + timedelta(minutes=1), good),   # exact dup of 1
+        (3, t0 + timedelta(minutes=2), soup),   # fails the gate
+    ]
+    spark.createDataFrame(r1, DOCS_STREAM_SCHEMA).write.mode("append").parquet(inp)
+    stream_curate(spark, inp, out, ckp, quality_threshold=0.5)
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {1}
+
+    # run 2 (restart): another copy of the run-1 text stays dropped
+    # through the checkpointed dedup state; a new good doc is admitted
+    r2 = [
+        (4, t0 + timedelta(minutes=3), good),
+        (5, t0 + timedelta(minutes=4), good + "fresh tail"),
+    ]
+    spark.createDataFrame(r2, DOCS_STREAM_SCHEMA).write.mode("append").parquet(inp)
+    stream_curate(spark, inp, out, ckp, quality_threshold=0.5)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {1, 5}
+
+
+def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
+    """With every document inside the horizon and arrival order = doc_id
+    order (where first-seen == min-id), the streamed curated doc set
+    equals the batch curate_corpus survivor set on the same corpus —
+    the streaming tier of the curation pipeline is value-checked
+    against the batch tier."""
+    from pyspark.sql import functions as F
+
+    from portuguese_pt_legal_ner_spark.plans.curation import curate_corpus
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        ).write.parquet(inp)
+    )
+    stream_curate(
+        spark, inp, out, ckp, quality_threshold=0.55, sample_fraction=0.5,
+        delay="365 days",
+    )
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, quality_threshold=0.55, sample_fraction=0.5
+        ).select("doc_id").distinct().collect()
+    }
+    assert streamed == batch
+    assert streamed  # non-vacuous
