@@ -189,3 +189,41 @@ def test_pack_token_bins_splits_long_docs(spark):
     assert sorted(by_doc[3]) == [(0, 10)]  # exact multiple: no empty tail
     # token mass is conserved — nothing truncated
     assert sum(t for chunks in by_doc.values() for _, t in chunks) == 38
+
+
+def test_pack_token_bins_invariants_on_random_corpus(spark):
+    """Seeded randomized invariants for the chunked packer: token mass
+    conserved, every chunk within budget, chunk indices contiguous per
+    doc, and per-bin sums bounded by budget + (budget - 1) — the chunk
+    form's tightened overflow bound."""
+    import random
+
+    rng = random.Random(71)
+    rows = []
+    for i in range(120):
+        n = rng.choice([0, 1, 3, 9, 10, 11, 25, 40, 100, 137])
+        rows.append((i, " ".join(f"w{j}" for j in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 10
+    out = pack_token_bins(docs, budget=budget, shards=4).collect()
+    by_doc: dict = {}
+    by_bin: dict = {}
+    for r in out:
+        assert 0 <= r["n_tokens"] <= budget
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+        by_bin.setdefault(r["bin_id"], 0)
+        by_bin[r["bin_id"]] += r["n_tokens"]
+    expected = {
+        i: max(1, len(t.split())) if t else 1 for i, t in rows
+    }  # chunks per doc = ceil(tokens/budget), min 1 — recompute below
+    for doc_id, chunks in by_doc.items():
+        idxs = sorted(c for c, _ in chunks)
+        assert idxs == list(range(len(idxs)))  # contiguous chunk ids
+        text = rows[doc_id][1]
+        n_tok = len([t for t in text.split()]) if text.strip() else 1
+        # Spark counts the empty string as one '' token
+        total = sum(n for _, n in chunks)
+        if text.strip():
+            assert total == n_tok  # token mass conserved
+    for s in by_bin.values():
+        assert s < 2 * budget  # chunked overflow bound
