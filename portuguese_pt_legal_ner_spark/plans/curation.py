@@ -8,19 +8,28 @@ training-data run executes over a raw crawl table —
 
 — as ONE lazy DataFrame plan with no materialization barriers, so
 Catalyst sees the whole thing: the quality/sample filters run in the
-same stage as the dedup window's output, column pruning reaches the
-scan, and the only shuffles are the two the semantics require (the
-md5(text) dedup window and the shard packing window). Every stage is
-engine-neutral arithmetic, so the WHOLE composition carries a DuckDB
-SQL oracle in ``__spark_entry__`` (`doc_curation`) — the integration
-is value-checked, not just the stages in isolation.
+same stages the dedup join requires, column pruning reaches the scan,
+and the only shuffles are the ones the semantics require (the dedup
+min-aggregate, the keep join, the shard packing window — one full-
+payload exchange, the rest slim). Every
+stage is engine-neutral arithmetic, so the WHOLE composition carries a
+DuckDB SQL oracle in ``__spark_entry__`` (`doc_curation`) — the
+integration is value-checked, not just the stages in isolation.
 
 Scale notes (100 TB):
-  * dedup-keep is a window min over md5(text) — one hash-partitioned
-    exchange, no join-back (the groupBy+join formulation shuffles the
-    corpus twice);
+  * dedup-keep is deliberately NOT a window min over md5(text): an
+    exact-dup flood (a million byte-identical crawl pages — the very
+    case dedup exists for) shares ONE hash, so a window partitioned on
+    it funnels the whole flood through one task, and AQE cannot split
+    a window partition. Instead: groupBy(md5).agg(min(doc_id)) —
+    partial (map-side) aggregation collapses the flood to one row per
+    executor BEFORE the shuffle — then a join back on the hash with
+    doc_id == keep_id, which Catalyst infers into the join keys: the
+    effective COMPOSITE key (text_hash, doc_id) is unique on both
+    sides, so no exchange is skewed no matter how pathological the
+    duplicate distribution (plan shape pinned in test_curation);
   * the quality gate and the sample are pure column predicates on the
-    window's survivors — zero extra exchanges, and the sample runs
+    join's survivors — zero extra exchanges, and the sample runs
     BEFORE packing so the packing window only sees kept rows;
   * packing shards by pmod(doc_id) — per-shard windows, never a
     global ORDER BY (see operators/sampling.pack_token_bins);
@@ -30,7 +39,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_sample, pack_token_bins
@@ -57,11 +66,12 @@ def curate_corpus(
       4. packing: budget-token bins per shard; docs longer than the
          budget are split into (doc_id, chunk_idx) chunks first.
     """
-    w = Window.partitionBy(F.md5(F.col("text")))
+    hashed = docs.withColumn("_th", F.md5(F.col("text")))
+    mins = hashed.groupBy("_th").agg(F.min("doc_id").alias("_keep"))
     kept = (
-        docs.withColumn("_keep", F.min("doc_id").over(w))
+        hashed.join(mins, "_th")
         .filter(F.col("doc_id") == F.col("_keep"))
-        .drop("_keep")
+        .drop("_th", "_keep")
     )
     filtered = kept.filter(
         F.round(quality_score_col(F.col("text")), 6) >= quality_threshold

@@ -57,11 +57,16 @@ def test_curation_packs_long_docs_in_chunks(spark):
     assert all(r["n_tokens"] <= 64 for r in out)
 
 
-def test_curation_single_composed_plan_two_shuffles(spark):
-    """The pipeline composes into ONE plan whose only exchanges are the
-    dedup window's md5 hash-partitioning and the packing window's
-    shard partitioning — the quality/sample filters ride those stages
-    free (no extra shuffle, no materialization barrier)."""
+def test_curation_composed_plan_shape_is_skew_immune(spark):
+    """Pin the dedup-keep plan shape: a map-side-combined min-aggregate
+    plus a join whose keys Catalyst infers to the COMPOSITE
+    (md5(text), doc_id) — unique on both sides, so NO exchange in the
+    pipeline can be skewed by an exact-dup flood. This is deliberate:
+    the window-min-over-md5(text) formulation has one fewer exchange
+    but funnels a whole flood through one unsplittable window
+    partition. Exchanges: big side (hash, id), slim mins re-shuffle,
+    slim agg partial, packing window = 4, only one of which carries
+    the text payload."""
     docs = _docs(
         spark,
         [(i, f"varied content tokens document {i} with enough words " * 2)
@@ -69,4 +74,19 @@ def test_curation_single_composed_plan_two_shuffles(spark):
     )
     plan = curate_corpus(docs, quality_threshold=0.3)._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 2, plan
+    assert n_exchanges == 4, plan
+    assert "partial_min" in plan  # flood collapses BEFORE the shuffle
+    # the inferred composite join keys — the skew-immunity certificate
+    assert "doc_id" in plan.split("SortMergeJoin")[1].split("\n")[0]
+
+
+def test_curation_exact_dup_flood_is_deduped(spark):
+    """A planted flood of byte-identical docs collapses to its min id
+    through the skew-safe agg+semi-join (the map-side combine keeps the
+    flood off any single reducer)."""
+    body = "varied flood document body with plenty of words here " * 2
+    flood = [(i, body) for i in range(100, 1100)]
+    normal = [(1, "a broad mixture of longer distinct tokens flowing naturally " * 2)]
+    docs = _docs(spark, normal + flood)
+    out = {r["doc_id"] for r in curate_corpus(docs, quality_threshold=0.0).collect()}
+    assert out == {1, 100}
