@@ -1804,6 +1804,9 @@ def _q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("sg_stream_cur_")
     inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
     os.makedirs(inp)
+    # single-partition doc_id-ordered replay: with one scan split the
+    # engine sees duplicate texts in id order, so the first-admitted
+    # doc IS the min id and the batch survivor CTE oracles the stream
     (
         _load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -1812,6 +1815,8 @@ def _q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
             "text",
         )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(inp)
     )

