@@ -1,4 +1,9 @@
-"""spark-submit entrypoint for the dedup family (build + incremental).
+"""spark-submit entrypoint for the dedup families (build + incremental).
+
+Two families share the CLI (--family minhash|simhash): minhash verifies
+with exact Jaccard (assign re-shingles banded corpus candidates via
+--corpus); simhash verifies with hamming on the indexed sim words
+(assign needs no corpus access at all).
 
 Build (cluster a corpus at rest, persist the incremental index):
     python -m zipfile -c /tmp/pkg.zip portuguese_pt_legal_ner_spark
@@ -33,6 +38,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("mode", choices=["build", "assign"])
+    parser.add_argument("--family", choices=["minhash", "simhash"],
+                        default="minhash",
+                        help="dedup family: minhash (Jaccard over word "
+                        "n-grams; assign re-shingles banded corpus "
+                        "candidates) or simhash (hamming over the 64-bit "
+                        "signature; assign re-reads NO corpus text)")
     parser.add_argument("--input", required=True,
                         help="documents parquet (corpus for build, "
                         "increment for assign)")
@@ -43,22 +54,31 @@ def main() -> None:
     parser.add_argument("--threshold", type=float, default=0.8)
     parser.add_argument("--ngram", type=int, default=3)
     parser.add_argument("--max-bucket-size", type=int, default=None)
+    parser.add_argument("--max-hamming", type=int, default=3,
+                        help="simhash family: hamming threshold")
+    parser.add_argument("--n-bands", type=int, default=4,
+                        help="simhash family: band count (pigeonhole "
+                        "bound max-hamming <= n-bands - 1)")
     parser.add_argument("--checkpoint-dir", default=None,
                         help="reliable-checkpoint dir for CC iterations "
                         "(build mode; default localCheckpoint)")
     parser.add_argument("--out", default=None, help="output parquet path")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
-    if args.mode == "assign" and not args.corpus:
-        parser.error("assign mode needs --corpus (the index stores bands, "
-                     "not gram payloads)")
+    if args.mode == "assign" and args.family == "minhash" and not args.corpus:
+        parser.error("minhash assign needs --corpus (the index stores "
+                     "bands, not gram payloads; the simhash family does "
+                     "not need it)")
 
     from portuguese_pt_legal_ner_spark.cache import release_tracked
     from portuguese_pt_legal_ner_spark.operators.dedup import (
         MAX_BAND_BUCKET,
         load_minhash_index,
+        load_simhash_index,
         minhash_assign_new,
         minhash_index,
+        simhash_assign_new,
+        simhash_index,
     )
     from portuguese_pt_legal_ner_spark.session import build_session
 
@@ -68,16 +88,29 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     if args.mode == "build":
-        # minhash_index shingles the corpus ONCE and shares the
-        # persisted spine between the band table and the clustering
-        # (the naive build ran the most expensive scan twice)
-        index = minhash_index(
-            docs, args.threshold, args.ngram, cap,
-            checkpoint_dir=args.checkpoint_dir,
-        )
+        # both builds hash the corpus ONCE and share the persisted
+        # spine/sim table between the band table and the clustering
+        if args.family == "simhash":
+            index = simhash_index(
+                docs, args.max_hamming, args.n_bands,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+        else:
+            index = minhash_index(
+                docs, args.threshold, args.ngram, cap,
+                checkpoint_dir=args.checkpoint_dir,
+            )
         index.save(args.index_dir)
-        release_tracked()  # drop the build's persisted spine/signatures
+        release_tracked()  # drop the build's persisted intermediates
         result = spark.read.parquet(f"{args.index_dir}/clusters")
+    elif args.family == "simhash":
+        index = load_simhash_index(spark, args.index_dir)
+        current = (
+            spark.read.parquet(args.corpus) if args.corpus else None
+        )  # optional: enables the staleness drift warning
+        result = simhash_assign_new(
+            index, docs, args.max_hamming, current=current
+        )
     else:
         index = load_minhash_index(spark, args.index_dir)
         result = minhash_assign_new(
@@ -90,8 +123,9 @@ def main() -> None:
     n_docs = result.count()
     n_clusters = result.select("cluster_id").distinct().count()
     print(json.dumps({
-        "mode": args.mode, "docs": n_docs, "clusters": n_clusters,
-        "index_dir": args.index_dir, "out": args.out,
+        "mode": args.mode, "family": args.family, "docs": n_docs,
+        "clusters": n_clusters, "index_dir": args.index_dir,
+        "out": args.out,
     }))
     spark.stop()
 

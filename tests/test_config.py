@@ -172,3 +172,57 @@ def test_dedup_cli_build_then_assign(tmp_path):
         ).fetchall()
     )
     assert rows == {100: 2, 101: 101}
+
+
+def test_dedup_cli_simhash_build_then_assign(tmp_path):
+    """The simhash family through the CLI: build the index in one
+    process, assign an increment in another WITHOUT --corpus — the
+    hamming verify reads sim words straight from the index bands."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    corpus = tmp_path / "corpus"
+    inc = tmp_path / "inc"
+    body = "o tribunal da relacao confirmou a sentenca um dois tres quatro cinco"
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        f"(2, '{body}'),"
+        f"(9, '{body}'),"
+        "(40, 'texto totalmente diferente sobre outra coisa qualquer aqui agora')"
+        ") t(doc_id, text)) TO '" + str(corpus) + "' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        f"(100, '{body}'),"
+        "(101, 'conteudo novo que nao parece com nada visto antes em lado nenhum')"
+        ") t(doc_id, text)) TO '" + str(inc) + "' (FORMAT PARQUET)"
+    )
+    idx = tmp_path / "shidx"
+    out1 = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_dedup.py"), "build",
+         "--family", "simhash", "--input", str(corpus),
+         "--index-dir", str(idx), "--max-hamming", "7", "--n-bands", "8",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    built = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert built["family"] == "simhash"
+    assert built["docs"] == 3 and built["clusters"] == 2
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "run_dedup.py"), "assign",
+         "--family", "simhash", "--input", str(inc),
+         "--index-dir", str(idx), "--max-hamming", "7",
+         "--out", str(tmp_path / "assigned"), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rows = dict(
+        duckdb.sql(
+            f"SELECT doc_id, cluster_id FROM read_parquet('{tmp_path}/assigned/*.parquet')"
+        ).fetchall()
+    )
+    assert rows == {100: 2, 101: 101}
