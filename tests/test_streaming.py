@@ -620,3 +620,43 @@ def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed  # non-vacuous
+
+
+def test_stream_curate_two_runs_union_equals_batch(spark, tmp_path):
+    """Checkpoint-crossing agreement: the corpus split into two
+    cron-style runs (ids ordered, so every cross-run duplicate's min id
+    arrives first) — the UNION of the two runs' admitted sets equals
+    the batch pipeline's survivor set, i.e. the dedup state carried
+    through the checkpoint keeps the incremental result equal to the
+    at-rest result."""
+    from pyspark.sql import functions as F
+
+    from portuguese_pt_legal_ner_spark.plans.curation import curate_corpus
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stamped = docs.select(
+        "doc_id",
+        (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+        "text",
+    )
+    cut = 250
+    for half in (
+        stamped.filter(F.col("doc_id") < cut),
+        stamped.filter(F.col("doc_id") >= cut),
+    ):
+        half.repartition(1).sortWithinPartitions("doc_id").write.mode(
+            "append"
+        ).parquet(inp)
+        stream_curate(
+            spark, inp, out, ckp, quality_threshold=0.55,
+            sample_fraction=0.5, delay="365 days",
+        )
+    streamed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]
+        for r in curate_corpus(docs, quality_threshold=0.55, sample_fraction=0.5)
+        .select("doc_id").distinct().collect()
+    }
+    assert streamed == batch and streamed
