@@ -1909,12 +1909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is load-bearing: the correctness driver checks the
+    FIRST 50 dict entries only, so every oracle-backed query (each key of
+    ``oracle_sql()``) must precede every rows-only entry, and the
+    rows-only tail is itself ranked (flagship kg_* first). Guarded by
+    ``tests/test_entry_contract.py::test_oracled_queries_inside_driver_window``
+    — round 5 silently evicted two driver-green queries by appending."""
     return {
-        "kg_mentions": _q_kg_mentions,
-        "kg_triples": _q_kg_triples,
-        "kg_triples_evidence": _q_kg_triples_evidence,
-        "kg_entities": _q_kg_entities,
-        "kg_edges": _q_kg_edges,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_segment_revenue": _q_q3_segment_revenue,
         "q5_nation_revenue": _q_q5_nation_revenue,
@@ -1930,7 +1931,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "events_pivot": _q_events_pivot,
         "doc_length_quantiles": _q_doc_length_quantiles,
-        "doc_length_quantiles_approx": _q_doc_length_quantiles_approx,
         "events_windowed": _q_events_windowed,
         "stream_events_windowed": _q_stream_events_windowed,
         "events_inheritance": _q_events_inheritance,
@@ -1945,7 +1945,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_normalized": _q_dedup_exact_normalized,
-        "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
         "dedup_minhash_md5_clusters": _q_dedup_minhash_md5_clusters,
@@ -1955,20 +1954,31 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bins": _q_doc_pack_bins,
         "doc_curation": _q_doc_curation,
         "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,
         "dedup_simhash_md5_clusters": _q_dedup_simhash_md5_clusters,
-        "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
-        "ann_srp_topk": _q_ann_srp_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_probe": _q_ann_ivf_probe,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
         "stream_curation": _q_stream_curation,
         "maintenance_compact": _q_maintenance_compact,
+        # ---- rows-only tail (no SQL oracle can see these surfaces) ----
+        # flagship kg_* first so they keep their rows-only driver rows
+        "kg_mentions": _q_kg_mentions,
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_edges": _q_kg_edges,
+        # past the driver's 50-row window from here down: pytest-gated
+        # surfaces whose SQL-green md5/exact twins sit above
+        "kg_triples_evidence": _q_kg_triples_evidence,
+        "doc_length_quantiles_approx": _q_doc_length_quantiles_approx,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "ann_srp_topk": _q_ann_srp_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_probe": _q_ann_ivf_probe,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -73,6 +73,26 @@ def test_entry_smoke(spark):
     assert {"subj", "pred", "obj", "conv_id", "turn_idx"} <= set(df.columns)
 
 
+DRIVER_WINDOW = 50
+
+
+def test_oracled_queries_inside_driver_window():
+    """The correctness driver hard-checks only the first 50 queries()
+    entries. Round 5 appended new queries and silently evicted two
+    driver-green oracled queries past the window; this guard makes the
+    registry invariant explicit: every oracle_sql() key must sit inside
+    the window, and oracled entries must precede every rows-only entry
+    so future growth fails loudly here instead of silently there."""
+    order = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= set(order), sorted(oracled - set(order))
+    outside = [k for k in order[DRIVER_WINDOW:] if k in oracled]
+    assert not outside, f"oracled queries past the driver window: {outside}"
+    first_rows_only = next(i for i, k in enumerate(order) if k not in oracled)
+    stragglers = [k for k in order[first_rows_only:] if k in oracled]
+    assert not stragglers, f"oracled entries after rows-only ones: {stragglers}"
+
+
 def test_rows_only_queries_run(spark):
     rows_only = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
     for name in rows_only:
