@@ -1283,6 +1283,121 @@ FROM documents d LEFT JOIN comp c USING (doc_id)"""
 )
 
 
+_ASSIGN_SPLIT = 350  # corpus = doc_id < 350, daily increment = the rest
+
+
+def _q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION daily-crawl shape, value-checked end to end:
+    build a minhash index over a corpus prefix (doc_id < 350), then
+    incrementally assign the remaining docs to existing clusters —
+    new bands equi-join the index band table (the increment never
+    self-joins the corpus), the exact-Jaccard verify re-shingles only
+    semi-joined candidates, ties break to the smallest cluster_id,
+    unmatched docs found their own cluster. md5 band family so the
+    DuckDB oracle replays the identical blocking; exercises
+    minhash_assign_new itself (the md5 wrapper only swaps bands_fn)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_md5_assign_new,
+        minhash_md5_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _ASSIGN_SPLIT)
+    new = docs.filter(F.col("doc_id") >= _ASSIGN_SPLIT)
+    idx = minhash_md5_index(corpus, threshold=0.6, n_hashes=8, n_bands=4)
+    return minhash_md5_assign_new(
+        idx, new, threshold=0.6, n_hashes=8, n_bands=4, corpus_docs=corpus
+    )
+
+
+_MH_SIG_BANDS_CTES = (
+    ", s AS (\n  SELECT doc_id,\n"
+    + ",\n".join(
+        f"    list_min(list_transform(sh, g -> md5('{i}' || ':' || g))) AS mh_{i}"
+        for i in range(8)
+    )
+    + "\n  FROM t\n), bands AS (\n"
+    + "  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx,"
+        f" md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM s\n"
+        for b in range(4)
+    )
+    + ")"
+)
+
+_DEDUP_MINHASH_ASSIGN_SQL = (
+    _MH_SHINGLES_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + _MH_SIG_BANDS_CTES
+    + f""",
+cb AS (SELECT * FROM bands WHERE doc_id < {_ASSIGN_SPLIT}),
+nb AS (SELECT * FROM bands WHERE doc_id >= {_ASSIGN_SPLIT}),
+tg AS (SELECT doc_id, unnest(sh) AS g FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tg GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cb a JOIN cb b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN tg ga ON ga.doc_id = c.doc_a
+  JOIN tg gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= 0.6
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION ALL SELECT doc_b, doc_a FROM ver
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+ccl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+  WHERE d.doc_id < {_ASSIGN_SPLIT}
+),
+acand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM nb n JOIN cb c
+    ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+),
+ainter AS (
+  SELECT a.new_id, a.corpus_id, count(*) AS i
+  FROM acand a
+  JOIN tg gn ON gn.doc_id = a.new_id
+  JOIN tg gc ON gc.doc_id = a.corpus_id AND gc.g = gn.g
+  GROUP BY a.new_id, a.corpus_id
+),
+aver AS (
+  SELECT i.new_id, i.corpus_id
+  FROM ainter i
+  JOIN sizes sn ON sn.doc_id = i.new_id
+  JOIN sizes sc ON sc.doc_id = i.corpus_id
+  WHERE CAST(i.i AS DOUBLE) / (sn.n_sh + sc.n_sh - i.i) >= 0.6
+),
+amatched AS (
+  SELECT v.new_id, min(c.cluster_id) AS cluster_id
+  FROM aver v JOIN ccl c ON c.doc_id = v.corpus_id
+  GROUP BY v.new_id
+)
+SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN amatched m ON m.new_id = d.doc_id
+WHERE d.doc_id >= {_ASSIGN_SPLIT}"""
+)
+
+
 def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-prefix sampling (~12.5%) — reproducible
     training-data subsetting: the selector is a pure function of the
@@ -1948,6 +2063,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_md5": _q_dedup_minhash_md5,
         "dedup_minhash_md5_pairs": _q_dedup_minhash_md5_pairs,
         "dedup_minhash_md5_clusters": _q_dedup_minhash_md5_clusters,
+        "dedup_minhash_assign": _q_dedup_minhash_assign,
         "doc_sample": _q_doc_sample,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_mixture_upsample": _q_doc_mixture_upsample,
@@ -1967,9 +2083,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
-        "kg_edges": _q_kg_edges,
         # past the driver's 50-row window from here down: pytest-gated
         # surfaces whose SQL-green md5/exact twins sit above
+        "kg_edges": _q_kg_edges,
         "kg_triples_evidence": _q_kg_triples_evidence,
         "doc_length_quantiles_approx": _q_doc_length_quantiles_approx,
         "dedup_minhash": _q_dedup_minhash,
@@ -2019,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_md5": _DEDUP_MINHASH_MD5_SQL,
         "dedup_minhash_md5_pairs": _DEDUP_MINHASH_MD5_PAIRS_SQL,
         "dedup_minhash_md5_clusters": _DEDUP_MINHASH_MD5_CLUSTERS_SQL,
+        "dedup_minhash_assign": _DEDUP_MINHASH_ASSIGN_SQL,
         "doc_sample": _DOC_SAMPLE_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SQL,
         "doc_mixture_upsample": _DOC_MIXTURE_SQL,

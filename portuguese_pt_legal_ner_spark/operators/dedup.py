@@ -525,6 +525,49 @@ def minhash_md5_signature(
     )
 
 
+def minhash_md5_bands(
+    docs: DataFrame, n_hashes: int = 8, n_bands: int = 4, ngram: int = 3
+) -> DataFrame:
+    """(doc_id, n_sh, band_idx, band_hash) — the md5-family band table,
+    mirroring _bands_from_sig's shape (n_sh rides the exchange so the
+    Jaccard verify never joins doc sizes back on) with every hash
+    engine-neutral. Shared by the candidate self-join AND the
+    incremental-assign equi-join, so build and assign block
+    identically. Same templated-SQL explode→aggregate shape as the
+    production signature (one sql call, not n_hashes×4 py4j calls)."""
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide n_hashes={n_hashes} — a "
+            "remainder would silently ignore the trailing signature "
+            "columns"
+        )
+    rpb = n_hashes // n_bands
+    g = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    )
+    mins = ", ".join(
+        f"min(md5(concat_ws(':', '{i}', g))) AS mh_{i}" for i in range(n_hashes)
+    )
+    sig = g.sparkSession.sql(
+        f"SELECT doc_id, count(1) AS n_sh, {mins} FROM {{g}} GROUP BY doc_id",
+        g=g,
+    )
+    structs = ", ".join(
+        "struct({b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash)".format(
+            b=b, cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(n_bands)
+    )
+    return sig.sparkSession.sql(
+        f"""
+        SELECT doc_id, n_sh, band.band_idx, band.band_hash
+        FROM (SELECT doc_id, n_sh, explode(array({structs})) AS band
+              FROM {{sig}})
+        """,
+        sig=sig,
+    )
+
+
 def minhash_md5_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = 8,
@@ -534,31 +577,15 @@ def minhash_md5_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs from the md5 signature — same banded-join
     shape as minhash_candidate_pairs, but every hash is engine-neutral
-    so the whole blocking path is SQL-oracle-checkable. The signature
-    is persisted (the band self-join references it twice) and recorded
-    for release via `persist_registry` / cache.release_tracked()."""
-    if n_hashes % n_bands:
-        raise ValueError(
-            f"n_bands={n_bands} must divide n_hashes={n_hashes} — a "
-            "remainder would silently ignore the trailing signature "
-            "columns"
-        )
-    rpb = n_hashes // n_bands
-    sig = minhash_md5_signature(docs, n_hashes, ngram).persist()
-    register(persist_registry, sig)
-    structs = ", ".join(
-        "struct({b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash)".format(
-            b=b, cols=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
-        )
-        for b in range(n_bands)
+    so the whole blocking path is SQL-oracle-checkable. The band table
+    is persisted (the self-join references it twice) and recorded for
+    release via `persist_registry` / cache.release_tracked()."""
+    bands = (
+        minhash_md5_bands(docs, n_hashes, n_bands, ngram)
+        .select("doc_id", "band_idx", "band_hash")
+        .persist()
     )
-    bands = sig.sparkSession.sql(
-        f"""
-        SELECT doc_id, band.band_idx, band.band_hash
-        FROM (SELECT doc_id, explode(array({structs})) AS band FROM {{sig}})
-        """,
-        sig=sig,
-    )
+    register(persist_registry, bands)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     return (
@@ -660,6 +687,7 @@ def minhash_assign_new(
     ngram: int = 3,
     corpus_docs: DataFrame | None = None,
     persist_registry: list[DataFrame] | None = None,
+    bands_fn=None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for NEW documents against a built index:
     a new doc joins the cluster of its best near-duplicate in the
@@ -676,7 +704,15 @@ def minhash_assign_new(
     re-shingle touches candidate row groups, not 100 TB. New docs are
     NOT compared against each other — run minhash_dedup on the
     increment first if intra-batch duplicates matter; assignment here
-    is per-doc independent, so it is retry-safe and order-free."""
+    is per-doc independent, so it is retry-safe and order-free.
+
+    `bands_fn(new_docs) -> (doc_id, n_sh, band_idx, band_hash)`
+    overrides the band family for the increment and MUST match the
+    family the index was built with (default: the production xxhash64
+    signature; pass minhash_md5_bands against an md5-built index —
+    the engine-neutral twin that carries the SQL oracle). The exact-
+    Jaccard verify is family-independent (it compares gram sets, not
+    signatures), so only candidate RECALL depends on this choice."""
     if corpus_docs is None:
         raise ValueError(
             "corpus_docs is required for the exact-Jaccard verify "
@@ -694,8 +730,11 @@ def minhash_assign_new(
         )
     new_grams = gram_hash_spine(new_docs, ngram).persist()
     register(persist_registry, new_grams)
-    new_sig = minhash_signature_table(new_docs, ngram, grams=new_grams)
-    new_bands = _bands_from_sig(new_sig)
+    if bands_fn is None:
+        new_sig = minhash_signature_table(new_docs, ngram, grams=new_grams)
+        new_bands = _bands_from_sig(new_sig)
+    else:
+        new_bands = bands_fn(new_docs)
     cand = (
         new_bands.select(
             F.col("doc_id").alias("new_id"), F.col("n_sh").alias("_nn"),
@@ -813,6 +852,51 @@ def minhash_md5_dedup(
     for df in registry:  # the md5 signature candidate_pairs persisted
         df.unpersist()
     return out
+
+
+def minhash_md5_index(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+) -> MinHashIndex:
+    """Build the incremental-dedup index in the md5 family — the
+    engine-neutral twin of minhash_index, so the build-once /
+    assign-increments production shape gets a cross-engine SQL oracle
+    (driver query `dedup_minhash_assign`). Same MinHashIndex contract:
+    band table + doc→cluster map + corpus-count staleness
+    fingerprint."""
+    bands = minhash_md5_bands(docs, n_hashes, n_bands, ngram)
+    clusters = minhash_md5_dedup(docs, threshold, n_hashes, n_bands, ngram)
+    return MinHashIndex(bands, clusters, docs.count())
+
+
+def minhash_md5_assign_new(
+    index: MinHashIndex,
+    new_docs: DataFrame,
+    threshold: float = 0.6,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+    corpus_docs: DataFrame | None = None,
+    persist_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """minhash_assign_new with md5-family banding for the increment —
+    MUST pair with a minhash_md5_index-built index (same n_hashes /
+    n_bands / ngram) so new bands and corpus bands hash identically.
+    This is the SAME assign operator end to end (candidate equi-join,
+    semi-joined re-shingle, exact-Jaccard verify, min-cluster tie
+    break); only the band family changes."""
+    return minhash_assign_new(
+        index,
+        new_docs,
+        threshold,
+        ngram,
+        corpus_docs,
+        persist_registry,
+        bands_fn=lambda d: minhash_md5_bands(d, n_hashes, n_bands, ngram),
+    )
 
 
 _HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")

@@ -531,6 +531,52 @@ def test_minhash_incremental_assignment(spark, tmp_path):
         minhash_assign_new(loaded, new, threshold=0.5)
 
 
+def test_minhash_md5_incremental_assignment(spark):
+    """The md5-family twin of incremental assignment (the variant that
+    carries the driver's SQL oracle): same assign operator, md5 bands.
+    Checks the three semantic branches — join an existing cluster via
+    the numeric-min representative, tie-break to the SMALLEST
+    cluster_id when several corpus partners verify, and found a new
+    cluster when nothing does."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        minhash_md5_assign_new,
+        minhash_md5_index,
+    )
+
+    base = "o tribunal da relacao confirmou a sentenca no processo "
+    other = "a autoridade tributaria emitiu nova liquidacao referente "
+    corpus = spark.createDataFrame(
+        [
+            (2, base + "um dois tres quatro cinco seis sete oito"),
+            (9, base + "um dois tres quatro cinco seis sete oito"),
+            (5, other + "alpha beta gamma delta epsilon zeta eta theta"),
+            (40, " ".join(f"token{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_md5_index(corpus, threshold=0.5)
+    new = spark.createDataFrame(
+        [
+            (100, base + "um dois tres quatro cinco seis sete NOVE"),
+            (101, " ".join(f"outro{i}" for i in range(25))),
+            # near-dup of BOTH clusters' texts concatenated would not
+            # verify at 0.5; instead a dup of doc 5 checks the second
+            # cluster is reachable independently
+            (102, other + "alpha beta gamma delta epsilon zeta eta IOTA"),
+        ],
+        "doc_id long, text string",
+    )
+    assigned = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_md5_assign_new(
+            idx, new, threshold=0.5, corpus_docs=corpus
+        ).collect()
+    }
+    assert assigned[100] == 2    # joined the {2, 9} cluster
+    assert assigned[101] == 101  # novel doc founds its own cluster
+    assert assigned[102] == 5    # joined doc 5's cluster
+
+
 def test_embedding_incremental_assignment(spark, tmp_path):
     """Embedding analog of minhash incremental assignment: a new
     vector near-identical to a corpus vector joins its cluster via the
