@@ -11,6 +11,12 @@ JSON line with input/output row counts — the kept fraction is the
 ops-visible health signal (a curation run that drops 99% of a crawl
 usually means a mis-set threshold, not a bad crawl).
 
+With --from-stream, --input is the curated sink a `run_stream curate`
+job appends to: curation is skipped (the stream already deduped, gated,
+and sampled) and only the token-bin pack runs — the periodic batch half
+of the curation lambda split. Bin assignment is a function of the whole
+curated set, so each pack OVERWRITES the previous one.
+
 Local smoke (this sandbox):
     python jobs/run_curate.py --input /root/testdata/sf0.001/documents.parquet \
         --output /tmp/curated --master 'local[2]'
@@ -37,6 +43,11 @@ def main() -> None:
     parser.add_argument("--budget", type=int, default=2048,
                         help="token budget per packed bin")
     parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument("--from-stream", action="store_true",
+                        help="--input is a curated STREAMING sink "
+                        "(already deduped/gated/sampled by run_stream "
+                        "curate): skip curation and only pack — the "
+                        "periodic batch half of the lambda split")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
 
@@ -47,11 +58,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    curated = curate_corpus(
-        docs, quality_threshold=args.quality,
-        sample_fraction=args.fraction, budget=args.budget,
-        shards=args.shards,
-    )
+    if args.from_stream:
+        from portuguese_pt_legal_ner_spark.operators.sampling import (
+            pack_token_bins,
+        )
+
+        curated = pack_token_bins(
+            docs, budget=args.budget, shards=args.shards
+        )
+    else:
+        curated = curate_corpus(
+            docs, quality_threshold=args.quality,
+            sample_fraction=args.fraction, budget=args.budget,
+            shards=args.shards,
+        )
     curated.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     n_chunks = out.count()

@@ -17,7 +17,10 @@ Modes:
                 watermark-bounded bucket state (documents with ts)
     curate    — streaming corpus curation: watermark-bounded exact
                 text dedup + quality gate + deterministic sample
-                (documents with ts)
+                (documents with ts); --pack-output additionally runs
+                the periodic batch token-bin pack over the whole
+                curated sink after catch-up (the lambda-split last
+                mile; see streaming/curation.pack_curated_sink)
 """
 
 from __future__ import annotations
@@ -68,6 +71,15 @@ def main() -> None:
                         help="curate mode: quality_score gate")
     parser.add_argument("--fraction", type=float, default=1.0,
                         help="curate mode: deterministic sample fraction")
+    parser.add_argument("--pack-output", default=None,
+                        help="curate mode: after the stream catches up, "
+                        "batch-pack EVERYTHING the sink has admitted so "
+                        "far into token bins and overwrite this dir (the "
+                        "batch half of the curation lambda split)")
+    parser.add_argument("--budget", type=int, default=2048,
+                        help="curate mode: token budget per packed bin")
+    parser.add_argument("--shards", type=int, default=16,
+                        help="curate mode: packing shards")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
 
@@ -105,6 +117,24 @@ def main() -> None:
             quality_threshold=args.quality, sample_fraction=args.fraction,
             delay=args.delay,
         )
+        if args.pack_output:
+            from portuguese_pt_legal_ner_spark.streaming.curation import (
+                pack_curated_sink,
+            )
+
+            packed = pack_curated_sink(
+                spark, args.output, budget=args.budget, shards=args.shards
+            )
+            # overwrite, not append: bin assignment is a function of
+            # the WHOLE curated set, so each periodic pack supersedes
+            # the previous one (appending would duplicate every chunk)
+            packed.write.mode("overwrite").parquet(args.pack_output)
+            out = spark.read.parquet(args.pack_output)
+            print(json.dumps({
+                "packed_chunks": out.count(),
+                "packed_bins": out.select("bin_id").distinct().count(),
+                "pack_output": args.pack_output,
+            }))
     else:
         from portuguese_pt_legal_ner_spark.streaming.neardup import (
             stream_neardup_pairs,

@@ -15,7 +15,9 @@ stream to a sink. Packing is deliberately NOT in-stream: bin assignment
 depends on a per-shard running token count over the final corpus order,
 so it runs as a periodic batch `pack_token_bins` over the curated
 output (the standard lambda-architecture split: stateless+keyed-state
-stages stream, global-order stages batch).
+stages stream, global-order stages batch). `pack_curated_sink` is that
+batch half; `run_stream curate --pack-output` and
+`run_curate --from-stream` compose the two from the CLI.
 
 Equivalence contract (pinned in test_streaming.py): with every
 document inside the horizon, the streamed curated doc set equals the
@@ -48,11 +50,21 @@ def curated_stream(
     wm = docs.withWatermark("ts", delay).withColumn(
         "_th", F.md5(F.col("text"))
     )
-    deduped = (
-        wm.dropDuplicatesWithinWatermark(["_th"])
-        if docs.isStreaming
-        else wm.dropDuplicates(["_th"])
-    )
+    if docs.isStreaming:
+        deduped = wm.dropDuplicatesWithinWatermark(["_th"])
+    else:
+        # batch fallback replicates curate_corpus's keep rule (min
+        # doc_id survives) rather than dropDuplicates' arbitrary
+        # survivor — the downstream md5 sample keys on doc_id, so an
+        # arbitrary representative would give a batch caller a
+        # different curated set than the batch pipeline (round-5
+        # advice). Same flood-safe agg+join shape as plans/curation.
+        mins = wm.groupBy("_th").agg(F.min("doc_id").alias("_keep"))
+        deduped = (
+            wm.join(mins, "_th")
+            .filter(F.col("doc_id") == F.col("_keep"))
+            .drop("_keep")
+        )
     out = deduped.drop("_th").filter(
         F.round(quality_score_col(F.col("text")), 6) >= quality_threshold
     )
@@ -88,3 +100,26 @@ def stream_curate(
         .start()
     )
     q.awaitTermination()
+
+
+def pack_curated_sink(
+    spark: SparkSession,
+    curated_dir: str,
+    budget: int = 2048,
+    shards: int = 16,
+) -> DataFrame:
+    """The batch half of the curation lambda split: token-budget
+    packing over the curated streaming sink. Bin assignment depends on
+    a per-shard running token count over the final corpus order, so it
+    cannot stream; instead it runs periodically (cron, or
+    run_stream curate --pack-output) over everything the stream has
+    admitted so far. pack_token_bins orders each shard by
+    (doc_id, chunk_idx) — a pure function of the row set, independent
+    of sink file order — so stream-curate-then-pack over a doc_id-
+    ordered replay reproduces the batch curate_corpus bins exactly
+    (pinned in test_streaming.py)."""
+    from ..operators.sampling import pack_token_bins  # noqa: PLC0415
+
+    return pack_token_bins(
+        spark.read.parquet(curated_dir), budget=budget, shards=shards
+    )

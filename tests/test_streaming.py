@@ -622,6 +622,122 @@ def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
     assert streamed  # non-vacuous
 
 
+def test_curated_stream_batch_fallback_keeps_min_id(spark):
+    """curated_stream on a BATCH frame must reproduce curate_corpus's
+    survivor rule — min doc_id per text — not dropDuplicates'
+    arbitrary pick (round-5 advice: the md5 sample keys on doc_id, so
+    an arbitrary representative changes the sampled set)."""
+    from datetime import datetime
+
+    from portuguese_pt_legal_ner_spark.streaming.curation import curated_stream
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+    )
+
+    good = "a broad mixture of longer distinct tokens flowing naturally " * 2
+    t0 = datetime(2024, 1, 1, 12, 0)
+    # reverse arrival order: the dup with the LARGER id comes first, so
+    # an arrivals-first rule would keep 7 — the contract keeps 3
+    docs = spark.createDataFrame(
+        [(7, t0, good), (3, t0, good), (9, t0, good + "tail")],
+        DOCS_STREAM_SCHEMA,
+    ).repartition(1)
+    kept = {
+        r["doc_id"]
+        for r in curated_stream(docs, quality_threshold=0.5).collect()
+    }
+    assert kept == {3, 9}
+
+
+def test_stream_curate_then_pack_equals_batch_bins(spark, tmp_path):
+    """The firehose last mile: stream-curate a doc_id-ordered replay,
+    then run the periodic batch pack over the curated sink
+    (pack_curated_sink) — the full packed assignment (doc_id,
+    chunk_idx, shard, n_tokens, bin_id) equals the batch
+    curate_corpus output on the same corpus. Packing orders each
+    shard by (doc_id, chunk_idx), a pure function of the admitted
+    row SET, so sink file order cannot leak into bins."""
+    from pyspark.sql import functions as F
+
+    from portuguese_pt_legal_ner_spark.plans.curation import curate_corpus
+    from portuguese_pt_legal_ner_spark.streaming.curation import (
+        pack_curated_sink,
+        stream_curate,
+    )
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        ).repartition(1).sortWithinPartitions("doc_id").write.parquet(inp)
+    )
+    stream_curate(
+        spark, inp, out, ckp, quality_threshold=0.55, sample_fraction=0.5,
+        delay="365 days",
+    )
+    packed = {
+        tuple(r)
+        for r in pack_curated_sink(spark, out, budget=256, shards=4).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in curate_corpus(
+            docs, quality_threshold=0.55, sample_fraction=0.5,
+            budget=256, shards=4,
+        ).collect()
+    }
+    assert packed == batch and packed
+
+
+def test_run_curate_cli_from_stream(spark, tmp_path):
+    """CLI handoff: run_curate --from-stream packs a curated sink
+    without re-curating — byte-for-byte the same bins as calling
+    pack_token_bins directly."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from portuguese_pt_legal_ner_spark.operators.sampling import pack_token_bins
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate
+
+    inp, out, ckp, packed_dir = (
+        str(tmp_path / d) for d in ("in", "out", "ckp", "packed")
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    (
+        docs.select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        ).repartition(1).sortWithinPartitions("doc_id").write.parquet(inp)
+    )
+    stream_curate(spark, inp, out, ckp, quality_threshold=0.0, delay="365 days")
+    proc = subprocess.run(
+        [
+            _sys.executable, "jobs/run_curate.py", "--from-stream",
+            "--input", out, "--output", packed_dir,
+            "--budget", "256", "--shards", "4", "--master", "local[2]",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+        timeout=300,
+    )
+    stats = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["chunks"] > 0 and stats["bins"] > 0
+    expected = {
+        tuple(r)
+        for r in pack_token_bins(
+            spark.read.parquet(out), budget=256, shards=4
+        ).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(packed_dir).collect()}
+    assert got == expected
+
+
 def test_stream_curate_two_runs_union_equals_batch(spark, tmp_path):
     """Checkpoint-crossing agreement: the corpus split into two
     cron-style runs (ids ordered, so every cross-run duplicate's min id
