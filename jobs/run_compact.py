@@ -17,7 +17,6 @@ Local smoke (this sandbox):
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import sys
 from pathlib import Path
@@ -37,13 +36,16 @@ def main() -> None:
 
     from portuguese_pt_legal_ner_spark.operators.maintenance import (
         compact_parquet,
+        count_part_files,
         dir_bytes,
     )
     from portuguese_pt_legal_ner_spark.session import build_session
 
     spark = build_session(app_name="compact", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
-    before_files = len(glob.glob(f"{args.input}/part-*"))
+    # Hadoop FS, not local glob: the counts must be right on
+    # HDFS/S3A URIs too, same abstraction as dir_bytes
+    before_files = count_part_files(spark, args.input)
     before_bytes = dir_bytes(spark, args.input)
     sort_by = args.sort_by.split(",") if args.sort_by else None
     n = compact_parquet(

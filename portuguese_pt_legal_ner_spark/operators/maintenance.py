@@ -39,6 +39,17 @@ def dir_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(hpath).getLength()
 
 
+def count_part_files(spark: SparkSession, path: str) -> int:
+    """Number of part files in a table directory via the Hadoop FS API
+    — local glob returns 0 for HDFS/S3A URIs (round-5 advice), so the
+    ops-visible file counts must go through the same abstraction
+    dir_bytes uses."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/part-*")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return len(fs.globStatus(hpath) or [])
+
+
 def compact_parquet(
     spark: SparkSession,
     input_dir: str,
@@ -47,8 +58,11 @@ def compact_parquet(
     sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite `input_dir` into `output_dir` as ~`target_mb` files;
-    returns the file count written. Content is preserved row-for-row
-    (value-checked by the `maintenance_compact` entry oracle)."""
+    returns the part-file count ACTUALLY written (counted post-write —
+    a range partitioner can leave partitions empty, so echoing the
+    requested count would over-report). Content is preserved
+    row-for-row (value-checked by the `maintenance_compact` entry
+    oracle)."""
     total = dir_bytes(spark, input_dir)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(input_dir)
@@ -58,4 +72,4 @@ def compact_parquet(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(output_dir)
-    return n_files
+    return count_part_files(spark, output_dir)

@@ -9,9 +9,11 @@ training-data run executes over a raw crawl table —
 — as ONE lazy DataFrame plan with no materialization barriers, so
 Catalyst sees the whole thing: the quality/sample filters run in the
 same stages the dedup join requires, column pruning reaches the scan,
-and the only shuffles are the ones the semantics require (the dedup
-min-aggregate, the keep join, the shard packing window — one full-
-payload exchange, the rest slim). Every
+and the only shuffles are the ones the semantics require — four hash
+exchanges total (big side on (md5(text), id), the slim mins
+re-shuffle, the slim agg partial, the shard packing window; pinned at
+4 in test_curation), of which only the big side carries the text
+payload. Every
 stage is engine-neutral arithmetic, so the WHOLE composition carries a
 DuckDB SQL oracle in ``__spark_entry__`` (`doc_curation`) — the
 integration is value-checked, not just the stages in isolation.
