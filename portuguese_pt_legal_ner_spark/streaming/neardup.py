@@ -5,9 +5,18 @@ The batch near-dup family (operators/dedup.py) blocks with a band
 self-join over a corpus at rest. A firehose training-data pipeline
 needs the incremental form: as documents stream in, emit (doc_a,
 doc_b, hamming) for every new document whose simhash lies within
-`max_hamming` of a document seen EARLIER in the stream — where
-"earlier" is bounded by the watermark delay, exactly like
-streaming/dedup.py bounds exact-dedup state.
+`max_hamming` of a document seen EARLIER in the stream and within the
+horizon — the emission rule is exact and per-pair: share a band,
+hamming ≤ k, AND event-time gap ≤ `delay_sec` (checked at verify
+time, not just via state pruning, so the pair set is a function of
+event times alone, never of micro-batch boundaries — value-checked
+against a per-horizon-window DuckDB oracle in `stream_neardup_horizon`
+and in test_streaming). One caveat: a LATE row (event time behind the
+bucket's newest, admitted by the watermark allowance) pairs only with
+members still inside the state horizon of the bucket's newest event —
+members are pruned `delay_sec` behind `newest`, so a late row can miss
+partners in the sliver [newest-2·delay, newest-delay); that sliver is
+the standard price of bounded streaming state.
 
 Shape (the streaming analog of simhash_md5_neardup_pairs):
 
@@ -211,27 +220,46 @@ def _pair_fn(
         # output: 5.6 s -> 4.0 s end-to-end)
         n = len(sims)
         buf = np.empty(max(16, 2 * n), dtype=np.uint64)
+        tbuf = np.empty(len(buf), dtype=np.int64)
         if n:
             buf[:n] = np.array(sims, dtype=np.uint64)
+            tbuf[:n] = np.array(ts_us, dtype=np.int64)
         for doc_id, sim, t_us in rows:
+            # the horizon is enforced PER PAIR at verify time (member
+            # event time within delay of the incoming row), not only by
+            # the end-of-invocation prune — otherwise a member due to
+            # expire still pairs with every row of the invocation that
+            # expires it, and the emitted set depends on micro-batch
+            # boundaries instead of event times alone
             if n > max_bucket_size:
                 # star-capped verify: full bucket compares against the
                 # representative (first entry) only
                 capped = True
-                if doc_ids[0] != doc_id:
+                if doc_ids[0] != doc_id and ts_us[0] >= t_us - delay_us:
                     h = ((sim ^ sims[0]) & _MASK64).bit_count()
                     if h <= max_hamming:
                         a, b = sorted((doc_ids[0], doc_id))
                         out_a.append(a)
                         out_b.append(b)
                         out_h.append(h)
+                # the rep stands for the capped rows, so its horizon
+                # follows the flood WITHIN the invocation too — a
+                # single-run flood longer than the delay must stay
+                # linked to its representative, same rule as the
+                # end-of-invocation advancement below
+                if ts_us and t_us > ts_us[0]:
+                    ts_us[0] = t_us
+                    tbuf[0] = t_us
             else:
                 if n:
                     x = buf[:n] ^ np.uint64(sim & _MASK64)
                     hs = _POP8[x.view(np.uint8)].reshape(n, 8).sum(
                         axis=1, dtype=np.int64
                     )
-                    for i in np.flatnonzero(hs <= max_hamming):
+                    ok = (hs <= max_hamming) & (
+                        tbuf[:n] >= t_us - delay_us
+                    )
+                    for i in np.flatnonzero(ok):
                         if doc_ids[i] == doc_id:
                             continue
                         a, b = sorted((doc_ids[i], doc_id))
@@ -243,7 +271,11 @@ def _pair_fn(
                 ts_us.append(t_us)
                 if n == len(buf):
                     buf = np.concatenate([buf, np.empty(len(buf), np.uint64)])
+                    tbuf = np.concatenate(
+                        [tbuf, np.empty(len(tbuf), np.int64)]
+                    )
                 buf[n] = sim & _MASK64
+                tbuf[n] = t_us
                 n += 1
 
         # `newest` advances with the INCOMING rows even when the cap

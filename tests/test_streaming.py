@@ -541,6 +541,44 @@ def test_stream_neardup_flood_across_horizon_keeps_rep(spark, tmp_path):
     assert all((0, 40 + j) in pairs for j in range(6))
 
 
+def test_stream_neardup_horizon_is_exact_per_pair(spark, tmp_path):
+    """The horizon is a PER-PAIR event-time rule (round-5 verdict item
+    8), not just a state-pruning heuristic: identical docs at t = 0,
+    50, 120, 250, 310 s with a 100 s horizon must pair exactly when
+    their event-time gap ≤ 100 s — {(1,2), (2,3), (4,5)} — and never
+    when the gap exceeds it, even when both rows share one micro-batch
+    (docs 1 and 3 arrive together but are 120 s apart). The second run
+    also exercises the prune: docs 1-3 fall out of state after run 1
+    (newest 250 - 100), and doc 5 still finds doc 4."""
+    from datetime import datetime, timedelta
+
+    from portuguese_pt_legal_ner_spark.streaming.neardup import (
+        DOCS_STREAM_SCHEMA,
+        stream_neardup_pairs,
+    )
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    same = "documento juridicamente identico em todos os aspectos " * 6
+    t0 = datetime(2024, 1, 1, 12, 0)
+
+    def run(rows):
+        spark.createDataFrame(
+            [(i, t0 + timedelta(seconds=s), same) for i, s in rows],
+            DOCS_STREAM_SCHEMA,
+        ).write.mode("append").parquet(inp)
+        stream_neardup_pairs(
+            spark, inp, out, ckp, max_hamming=3, n_bands=4,
+            delay="100 seconds", delay_sec=100,
+        )
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert run([(1, 0), (2, 50), (3, 120), (4, 250)]) == {(1, 2), (2, 3)}
+    assert run([(5, 310)]) == {(1, 2), (2, 3), (4, 5)}
+
+
 def test_stream_curate_dedup_gate_and_restart(spark, tmp_path):
     """Streaming curation: first-seen text admitted once (state in the
     checkpoint across runs), exact re-serializations dropped, the
@@ -620,6 +658,58 @@ def test_stream_curate_agrees_with_batch_pipeline(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed  # non-vacuous
+
+
+def test_stream_curate_unordered_replay_admits_exact_text_set(spark, tmp_path):
+    """Order-INSENSITIVE equivalence (round-5 verdict item 7): a
+    multi-partition UNSORTED replay makes intra-micro-batch arrival
+    order an engine artifact, so which doc_id survives a dup group is
+    unspecified — but the admitted TEXT set is a pure function of the
+    input: exactly the distinct texts passing the quality gate (with
+    sample_fraction=1.0 the id-keyed sample is off, so no predicate
+    depends on the surviving id). This check holds under any replay
+    order, shuffle plan, or future engine change — the guarantee the
+    doc_id-ordered test cannot give."""
+    from pyspark.sql import functions as F
+
+    from portuguese_pt_legal_ner_spark.operators.textstats import (
+        quality_score_col,
+    )
+    from portuguese_pt_legal_ner_spark.streaming.curation import stream_curate
+
+    inp, out, ckp = (str(tmp_path / d) for d in ("in", "out", "ckp"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.select(
+            "doc_id",
+            (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
+            "text",
+        )
+        # scramble: 4 partitions, hash-distributed — no order contract
+        .repartition(4, F.md5(F.col("doc_id").cast("string")))
+        .write.parquet(inp)
+    )
+    stream_curate(
+        spark, inp, out, ckp, quality_threshold=0.55, sample_fraction=1.0,
+        delay="365 days",
+    )
+    admitted = spark.read.parquet(out)
+    streamed_texts = {
+        r["h"] for r in admitted.select(F.md5("text").alias("h")).collect()
+    }
+    expected = {
+        r["h"]
+        for r in docs.filter(
+            F.round(quality_score_col(F.col("text")), 6) >= 0.55
+        )
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert streamed_texts == expected
+    assert expected  # non-vacuous
+    # once-per-text: no dup group admitted twice
+    assert admitted.count() == len(streamed_texts)
 
 
 def test_curated_stream_batch_fallback_keeps_min_id(spark):
