@@ -128,6 +128,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_minhash_md5_pairs",
         "dedup_minhash_md5_clusters",
+        "dedup_minhash_assign",
         "doc_sample",
         "doc_stratified_sample",
         "doc_mixture_upsample",
@@ -135,6 +136,7 @@ def main() -> None:
         "doc_curation",
         "stream_events_windowed",
         "stream_neardup_pairs",
+        "stream_neardup_horizon",
         "stream_curation",
         "dedup_simhash",
         "ngram_jaccard",

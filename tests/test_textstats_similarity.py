@@ -308,6 +308,123 @@ def test_real_decoder_is_stubbed(spark):
         extract_features(assets).collect()
 
 
+def _png_encode(pixels, width, height, channels, filters):
+    """Test-side PNG encoder applying a CHOSEN filter per scanline
+    (the forward transform of each of the five PNG filters), so the
+    decoder's unfiltering is checked differentially: five encodings of
+    the same pixel truth must decode identically."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            v = pixels[y * stride + x]
+            a = pixels[y * stride + x - channels] if x >= channels else 0
+            b = pixels[(y - 1) * stride + x] if y else 0
+            c = (
+                pixels[(y - 1) * stride + x - channels]
+                if (y and x >= channels)
+                else 0
+            )
+            if f == 0:
+                raw.append(v)
+            elif f == 1:
+                raw.append((v - a) & 0xFF)
+            elif f == 2:
+                raw.append((v - b) & 0xFF)
+            elif f == 3:
+                raw.append((v - (a + b) // 2) & 0xFF)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((v - pred) & 0xFF)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_agree():
+    """Five encodings of one pixel truth (filters none/sub/up/average/
+    paeth, plus a mixed rotation) must decode to identical dims and
+    features — the unfiltering differential check; and a flat gray
+    image pins the feature VALUE (mean/255) exactly."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.multimodal import png_decode
+
+    rng = random.Random(42)
+    w, h, ch = 13, 9, 3  # odd dims: no stride/width aliasing
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    results = [
+        png_decode(_png_encode(pixels, w, h, ch, [f])) for f in range(5)
+    ]
+    results.append(png_decode(_png_encode(pixels, w, h, ch, [0, 1, 2, 3, 4])))
+    assert all(r == results[0] for r in results[1:])
+    assert results[0][:2] == (w, h)
+    # flat gray 100 everywhere -> every stride mean is exactly 100/255
+    flat = bytes([100]) * (8 * 6 * 1)
+    fw, fh, feats = png_decode(_png_encode(flat, 8, 6, 1, [4]))
+    assert (fw, fh) == (8, 6)
+    assert all(abs(f - 100 / 255) < 1e-9 for f in feats)
+
+
+def test_real_decode_reads_genuine_png_heatmap(spark, tmp_path):
+    """Round-5 verdict item 9: the in-repo stdlib PNG ENCODER
+    (metrics._write_png_heatmap) and the new stdlib DECODER round-trip
+    — real_decode auto-decodes a genuine PNG payload in every
+    environment, and the distributed extract_features path works with
+    the DEFAULT (real) decoder on PNG assets."""
+    from portuguese_pt_legal_ner_spark.operators.metrics import (
+        _write_png_heatmap,
+    )
+    from portuguese_pt_legal_ner_spark.operators.multimodal import (
+        ASSETS_SCHEMA,
+        extract_features,
+        real_decode,
+    )
+
+    path = str(tmp_path / "m.png")
+    _write_png_heatmap(path, [[1, 2], [3, 4]], cell=8)
+    payload = open(path, "rb").read()
+    w, h, feats = real_decode(payload)
+    assert (w, h) == (17, 17)  # 2*8 + 1px grid
+    assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+    assert any(f not in (0.0, 1.0) for f in feats)  # non-degenerate
+
+    assets = spark.createDataFrame(
+        [(i, "image", payload, {"codec": "png"}) for i in range(6)],
+        ASSETS_SCHEMA,
+    ).repartition(3)
+    rows = extract_features(assets).collect()  # default decoder = real
+    assert len(rows) == 6
+    assert all((r["width"], r["height"]) == (17, 17) for r in rows)
+    # FEATURES_SCHEMA carries float32; compare at that precision
+    assert all(
+        abs(a - b) < 1e-6
+        for r in rows
+        for a, b in zip(r["features"], feats)
+    )
+
+
 def test_sample_frames(spark):
     assets = synthetic_assets(spark, n=30, partitions=4)
     frames = sample_frames(assets, every_n_bytes=256)
