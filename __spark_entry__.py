@@ -1904,6 +1904,69 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (dedup.duplicated_spans): merged per-doc
+    token spans covered by an 8-gram occurring in ≥2 distinct docs —
+    the Lee-et-al exact-substring form at n-gram granularity; finds
+    boilerplate REGIONS inside otherwise-distinct documents that
+    doc-level dedup cannot see."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        duplicated_spans,
+    )
+
+    return duplicated_spans(
+        _load(spark, sf_dir, "documents"), n=8, min_df=2, hash_fn="md5"
+    )
+
+
+def _q_doc_dup_spans_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of doc_dup_spans: xxhash64 gram hashes (one
+    8-byte JVM hash per gram instead of md5's 32-hex string — slimmer
+    exchange, cheaper projection); span output identical barring a
+    collision, pinned against the md5 family in test_dedup."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (  # noqa: PLC0415
+        duplicated_spans,
+    )
+
+    return duplicated_spans(_load(spark, sf_dir, "documents"), n=8, min_df=2)
+
+
+_DOC_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t
+  FROM toks WHERE len(t) >= 8
+),
+hashed AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+  FROM grams
+),
+dup AS (SELECT g FROM hashed GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+spans AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e
+  FROM hashed WHERE g IN (SELECT g FROM dup)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM spans
+),
+isl2 AS (
+  SELECT doc_id, s, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+        ROWS UNBOUNDED PRECEDING) AS island FROM isl
+)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 def _q_stream_neardup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup with a REAL horizon under a value check
     (round-5 verdict item 8): documents replayed at one doc per second
@@ -2133,17 +2196,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,
         "dedup_simhash_md5_clusters": _q_dedup_simhash_md5_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
+        "doc_dup_spans": _q_doc_dup_spans,
         "ann_threshold_count": _q_ann_threshold_count,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
         "stream_neardup_horizon": _q_stream_neardup_horizon,
         "stream_curation": _q_stream_curation,
         "maintenance_compact": _q_maintenance_compact,
         # ---- rows-only tail (no SQL oracle can see these surfaces) ----
-        # flagship kg_* first so they keep their rows-only driver rows
+        # kg_mentions keeps the flagship's rows-only driver row; the
+        # rest of the kg_* family is covered by the driver's entry()
+        # smoke check (which runs the full triple pipeline) + the
+        # pytest parity suites, so oracled queries outrank them here
         "kg_mentions": _q_kg_mentions,
-        "kg_triples": _q_kg_triples,
         # past the driver's 50-row window from here down: pytest-gated
         # surfaces whose SQL-green md5/exact twins sit above
+        "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
         "kg_edges": _q_kg_edges,
         "kg_triples_evidence": _q_kg_triples_evidence,
@@ -2152,6 +2219,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "doc_dup_spans_xx": _q_doc_dup_spans_xx,
         "ann_srp_topk": _q_ann_srp_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_probe": _q_ann_ivf_probe,
@@ -2218,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "maintenance_compact": _MAINTENANCE_COMPACT_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "doc_dup_spans": _DOC_DUP_SPANS_SQL,
         "ann_threshold_count": _ANN_SQL,
         # dedup_minhash / dedup_simhash / dedup_embedding_clusters /
         # ann_srp_topk / ann_ivf_topk / ann_ivf_probe /

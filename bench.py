@@ -140,6 +140,7 @@ def main() -> None:
         "stream_curation",
         "dedup_simhash",
         "ngram_jaccard",
+        "doc_dup_spans_xx",
         "dedup_embedding",
         "ann_threshold_count",
         "ann_srp_topk",

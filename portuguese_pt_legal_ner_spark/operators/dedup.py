@@ -1771,3 +1771,94 @@ def ngram_jaccard_pairs(
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, n: int = 8, min_df: int = 2, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Substring-LEVEL duplication: per-document MERGED token spans
+    covered by at least one n-token gram that occurs in >= min_df
+    DISTINCT documents — the n-gram-granular form of exact-substring
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"). Document-level dedup (exact /
+    minhash / simhash above) misses boilerplate headers, footers, and
+    license blocks pasted into otherwise-distinct documents; this
+    operator finds the repeated REGIONS so a curation pipeline can cut
+    them out instead of dropping whole documents.
+
+    Output: (doc_id, span_start, span_end, span_tokens), token indices
+    0-based inclusive, overlapping/contiguous duplicated grams merged
+    per document (gaps-and-islands). Within-doc repeats do NOT count
+    toward min_df (distinct-document frequency) — the semantics are
+    cross-document contamination, not internal repetition.
+
+    100-TB shape: the text column never reaches an exchange — grams
+    are hashed in the same projection as the explode, so both shuffles
+    carry (doc_id, pos, hash) rows only. `hash_fn` follows the repo's
+    twin pattern: "xxhash64" (default — one 8-byte JVM hash per gram,
+    the production path) or "md5" (engine-neutral, what the DuckDB
+    oracle checks); span output is identical between them barring a
+    hash collision, pinned in test_dedup. Stage 1 is a
+    map-side-combined distinct-doc count per gram hash whose output
+    (the duplicated-gram set) is tiny relative to the gram table;
+    stage 2 keeps duplicated gram positions by left-semi join on the
+    hash (the gram table is re-derived from the scan rather than
+    cached — at corpus scale you persist it, locally the second scan
+    is cheaper than materializing); the merge is one window per doc
+    over the few surviving spans. No step is quadratic in documents or
+    grams."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    _h = F.md5 if hash_fn == "md5" else F.xxhash64
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = (
+        _ensure_parallelism(docs)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: _h(F.array_join(F.slice(F.col("t"), i + 1, n), " ")),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
+    )
+    spans = grams.join(dup, "gh", "left_semi").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + n - 1).cast("long").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.withColumn(
+        "ni",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s") + F.lit(1)).cast("long").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )

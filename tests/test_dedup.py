@@ -810,3 +810,55 @@ def test_simhash_assign_reads_no_corpus_text(spark, tmp_path):
     # ... and NO parquet scan reads a text column — the corpus is
     # never re-read (the increment is a LocalTableScan here)
     assert "text:string" not in plan
+
+
+def test_duplicated_spans_planted(spark):
+    """Substring-level dedup semantics on a hand-computable corpus:
+    (a) a 10-token boilerplate run shared by two docs yields one
+    MERGED span exactly covering the run in each doc; (b) two shared
+    runs separated by a gap stay two islands; (c) a run repeated twice
+    WITHIN one doc but in no other doc is not flagged (min_df counts
+    distinct documents); (d) a fully-unique doc emits nothing."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
+
+    B = [f"boiler{i}" for i in range(10)]
+    C = [f"clause{i}" for i in range(10)]
+    D = [f"inner{i}" for i in range(10)]
+
+    def u(doc, k):
+        return [f"u{doc}x{i}" for i in range(k)]
+
+    rows = [
+        (1, " ".join(u(1, 5) + B + u(1, 5)[:5])),
+        (2, " ".join(u(2, 3) + B + ["u2gap"] + C + ["u2tail"])),
+        (3, " ".join(C + u(3, 4))),
+        (4, " ".join(D + ["u4gap"] + D)),
+        (5, " ".join(u(5, 12))),
+    ]
+    # fix doc1: 5 unique + B + 5 MORE unique (distinct names)
+    rows[0] = (1, " ".join(u(1, 5) + B + [f"v1x{i}" for i in range(5)]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, n=8, min_df=2).collect()
+    }
+    assert got == {
+        (1, 5, 14, 10),   # B inside doc1
+        (2, 3, 12, 10),   # B inside doc2 ...
+        (2, 14, 23, 10),  # ... and C after the gap: two islands
+        (3, 0, 9, 10),    # C opens doc3
+    }
+
+
+def test_duplicated_spans_hash_families_agree(spark):
+    """Span output is a function of gram-string EQUALITY, not the hash
+    family: the xxhash64 production path and the md5 oracle twin must
+    emit identical span sets (a disagreement means a hash collision or
+    a family-specific bug)."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    xx = {tuple(r) for r in duplicated_spans(docs).collect()}
+    md5 = {tuple(r) for r in duplicated_spans(docs, hash_fn="md5").collect()}
+    assert xx == md5
+    assert xx  # non-vacuous

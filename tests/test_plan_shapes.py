@@ -114,3 +114,22 @@ def test_detector_scan_is_column_pruned(spark):
         assert m, plan
         read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert read_cols == {"conv_id", "turn_idx", "text"}, read_cols
+
+
+def test_duplicated_spans_exchanges_carry_no_text(spark, docs):
+    """Substring-level dedup: the gram table is hashed (md5) in the
+    same projection as the explode, so neither the text column nor the
+    raw token array rides any hash exchange — both shuffles carry
+    (doc_id, pos, 32-byte hash) only."""
+    import re as _re
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
+
+    plan = _formatted_plan(duplicated_spans(docs))
+    exchanges = _exchange_inputs(plan)
+    _assert_no_payload(exchanges)
+    for inputs, args in exchanges:
+        if "hashpartitioning" in args:
+            assert not _re.search(r"[\[,\s]t#", inputs), (
+                f"raw token array rides exchange: {inputs}"
+            )
