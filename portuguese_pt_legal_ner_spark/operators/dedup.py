@@ -1862,3 +1862,57 @@ def duplicated_spans(
         )
         .select("doc_id", "span_start", "span_end", "span_tokens")
     )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame, n: int = 8, min_df: int = 2, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """The excision consumer of `duplicated_spans`: re-emit every
+    document with its cross-document duplicated token regions CUT OUT
+    — (doc_id, text, n_tokens_removed), text re-joined on single
+    spaces (whitespace runs normalize; token content and order are
+    otherwise preserved). Documents with no duplicated span pass
+    through with n_tokens_removed = 0.
+
+    100-TB shape: spans per doc are few after island-merging, so the
+    per-doc span array is bounded and the token filter is one JVM
+    higher-order expression (zip_with index + exists over the span
+    array) — no Python touches the text, and the only exchanges are
+    the ones inside duplicated_spans plus one slim (doc_id → spans)
+    join."""
+    spans = (
+        duplicated_spans(docs, n=n, min_df=min_df, hash_fn=hash_fn)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda p: ~F.exists(
+            sp,
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda p: p["t"]), " "
+            ).alias("text"),
+            (F.size(toks) - F.size(kept)).cast("long").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )

@@ -862,3 +862,32 @@ def test_duplicated_spans_hash_families_agree(spark):
     md5 = {tuple(r) for r in duplicated_spans(docs, hash_fn="md5").collect()}
     assert xx == md5
     assert xx  # non-vacuous
+
+
+def test_scrub_duplicated_spans_planted(spark):
+    """Excision semantics: the shared boilerplate run is cut out of
+    both docs (token content and order otherwise preserved, joined on
+    single spaces); untouched docs pass through with 0 removed."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+
+    B = [f"boiler{i}" for i in range(10)]
+    u1 = [f"u1x{i}" for i in range(5)]
+    v1 = [f"v1x{i}" for i in range(5)]
+    u2 = [f"u2x{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(u1 + B + v1)),
+            (2, " ".join(B + u2)),
+            (3, " ".join(f"solo{i}" for i in range(15))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in scrub_duplicated_spans(docs, n=8, min_df=2).collect()
+    }
+    assert got[1] == (" ".join(u1 + v1), 10)
+    assert got[2] == (" ".join(u2), 10)
+    assert got[3] == (" ".join(f"solo{i}" for i in range(15)), 0)
