@@ -2,7 +2,8 @@
 
     spark-submit --py-files /tmp/pkg.zip jobs/run_curate.py \
         --input <documents_parquet> --output <parquet_dir> \
-        [--quality 0.55] [--fraction 1.0] [--budget 2048] [--shards 16]
+        [--quality 0.55] [--fraction 1.0] [--budget 2048] [--shards 16] \
+        [--scrub-spans [--span-ngram 8]]
 
 Runs exact-dedup keep → quality gate → deterministic md5 sample →
 token packing as ONE plan (plans/curation.py) and writes the packed
@@ -43,6 +44,14 @@ def main() -> None:
     parser.add_argument("--budget", type=int, default=2048,
                         help="token budget per packed bin")
     parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument("--scrub-spans", action="store_true",
+                        help="before curation, excise cross-document "
+                        "duplicated token spans (dedup."
+                        "scrub_duplicated_spans) — boilerplate regions "
+                        "doc-level dedup can't see; reported as "
+                        "tokens_scrubbed")
+    parser.add_argument("--span-ngram", type=int, default=8,
+                        help="gram width for --scrub-spans")
     parser.add_argument("--from-stream", action="store_true",
                         help="--input is a curated STREAMING sink "
                         "(already deduped/gated/sampled by run_stream "
@@ -58,6 +67,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    tokens_scrubbed = None
+    if args.scrub_spans and not args.from_stream:
+        from pyspark.sql import functions as F
+
+        from portuguese_pt_legal_ner_spark.operators.dedup import (
+            scrub_duplicated_spans,
+        )
+
+        scrubbed = scrub_duplicated_spans(docs, n=args.span_ngram)
+        tokens_scrubbed = scrubbed.agg(
+            F.sum("n_tokens_removed")
+        ).first()[0] or 0
+        docs = scrubbed.select("doc_id", "text")
     if args.from_stream:
         from portuguese_pt_legal_ner_spark.operators.sampling import (
             pack_token_bins,
@@ -81,6 +103,7 @@ def main() -> None:
         "input_docs": n_in, "kept_docs": n_docs,
         "kept_fraction": round(n_docs / n_in, 4) if n_in else None,
         "chunks": n_chunks, "bins": n_bins, "out": args.output,
+        "tokens_scrubbed": tokens_scrubbed,
     }))
     spark.stop()
 

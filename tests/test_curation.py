@@ -90,3 +90,35 @@ def test_curation_exact_dup_flood_is_deduped(spark):
     docs = _docs(spark, normal + flood)
     out = {r["doc_id"] for r in curate_corpus(docs, quality_threshold=0.0).collect()}
     assert out == {1, 100}
+
+
+def test_run_curate_cli_scrub_spans(spark, tmp_path):
+    """CLI: --scrub-spans excises cross-document duplicated regions
+    BEFORE curation and reports tokens_scrubbed — the composed
+    boilerplate-removal + curation pipeline in one subprocess run."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    inp, outdir = str(tmp_path / "in"), str(tmp_path / "packed")
+    B = " ".join(f"boiler{i}" for i in range(10))
+    rows = [
+        (1, f"{B} some distinct legal narrative one " + "alpha beta " * 20),
+        (2, f"{B} entirely different narrative two " + "gamma delta " * 20),
+        (3, "unique document with no shared region " + "epsilon zeta " * 20),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    proc = subprocess.run(
+        [
+            _sys.executable, "jobs/run_curate.py",
+            "--input", inp, "--output", outdir,
+            "--quality", "0.0", "--scrub-spans",
+            "--budget", "64", "--shards", "2", "--master", "local[2]",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+        timeout=300,
+    )
+    stats = _json.loads(proc.stdout.strip().splitlines()[-1])
+    # the 10-token boilerplate run is cut from BOTH carriers
+    assert stats["tokens_scrubbed"] == 20
+    assert stats["kept_docs"] == 3 and stats["chunks"] > 0
