@@ -166,8 +166,10 @@ def png_decode(payload: bytes) -> tuple[int, int, list[float]]:
             raise ValueError(f"bad PNG filter byte {fbyte}")
         pix[start : start + stride] = line
         prev_start = start
+    # guard each stride group: images smaller than 8 pixel-bytes have
+    # empty groups (found by test_png_decode_filter_invariance)
     feats = [
-        (sum(pix[i::8]) / (len(pix[i::8]) * 255.0)) if pix else 0.0
+        (sum(pix[i::8]) / (len(pix[i::8]) * 255.0)) if pix[i::8] else 0.0
         for i in range(8)
     ]
     return width, height, feats
@@ -190,7 +192,7 @@ def real_decode(payload: bytes) -> tuple[int, int, list[float]]:
             img = Image.open(io.BytesIO(payload))
             arr = _np.asarray(img, dtype=_np.uint8).ravel()
             feats = [
-                float(arr[i::8].mean() / 255.0) if arr.size else 0.0
+                float(arr[i::8].mean() / 255.0) if arr[i::8].size else 0.0
                 for i in range(8)
             ]
             return img.width, img.height, feats

@@ -891,3 +891,54 @@ def test_scrub_duplicated_spans_planted(spark):
     assert got[1] == (" ".join(u1 + v1), 10)
     assert got[2] == (" ".join(u2), 10)
     assert got[3] == (" ".join(f"solo{i}" for i in range(15)), 0)
+
+
+def test_duplicated_spans_matches_brute_force_on_random_corpora(spark):
+    """Differential gate: on seeded random corpora drawn from a SMALL
+    token vocabulary (so shared 8-gram runs arise by chance, in random
+    positions, with random overlaps), duplicated_spans must equal an
+    independent brute-force reference (dict-of-gram-positions + linear
+    interval merge) exactly."""
+    import random
+
+    from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
+
+    N = 8
+
+    def brute(corpus):
+        where = {}
+        for did, toks in corpus:
+            for i in range(len(toks) - N + 1):
+                where.setdefault(tuple(toks[i : i + N]), set()).add(did)
+        expected = set()
+        for did, toks in corpus:
+            ivs = [
+                (i, i + N - 1)
+                for i in range(len(toks) - N + 1)
+                if len(where[tuple(toks[i : i + N])]) >= 2
+            ]
+            cur = None
+            for s, e in ivs:  # already sorted by s
+                if cur and s <= cur[1] + 1:
+                    cur = (cur[0], max(cur[1], e))
+                else:
+                    if cur:
+                        expected.add((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+                    cur = (s, e)
+            if cur:
+                expected.add((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+        return expected
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab → chance repeats
+        corpus = [
+            (did, [rng.choice(vocab) for _ in range(rng.randrange(4, 60))])
+            for did in range(30)
+        ]
+        docs = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in corpus],
+            ["doc_id", "text"],
+        )
+        got = {tuple(r) for r in duplicated_spans(docs, n=N).collect()}
+        assert got == brute(corpus), f"seed {seed}"

@@ -139,3 +139,29 @@ def test_conll_roundtrip(sentences):
     parsed = parse_conll_text(text)
     want = [([t for t, _ in s], [l for _, l in s]) for s in sentences]
     assert parsed == want
+
+
+PNG_CHANNELS = st.sampled_from([1, 2, 3, 4])
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    PNG_CHANNELS,
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_decode_filter_invariance(w, h, ch, filters, rng):
+    """The stdlib PNG decoder's unfiltering is correct for EVERY
+    filter assignment: any per-scanline filter rotation over arbitrary
+    pixels must decode to the same (dims, features) as the filter-0
+    (identity) encoding of the same pixels — so each of the five
+    reverse filters exactly inverts its forward transform."""
+    from portuguese_pt_legal_ner_spark.operators.multimodal import png_decode
+    from tests.test_textstats_similarity import _png_encode
+
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    base = png_decode(_png_encode(pixels, w, h, ch, [0]))
+    assert base[:2] == (w, h)
+    assert png_decode(_png_encode(pixels, w, h, ch, filters)) == base
