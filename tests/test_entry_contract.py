@@ -98,3 +98,24 @@ def test_rows_only_queries_run(spark):
     for name in rows_only:
         df = entrymod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name
+
+
+def test_bench_headline_names_resolve():
+    """Registry-drift guard for bench.py (same failure class as the
+    round-5 correctness-window eviction): every headline query name
+    must exist in queries(), so a rename or removal fails here instead
+    of crashing the driver's per-round bench run."""
+    import ast
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent / "bench.py"
+    tree = ast.parse(src.read_text())
+    names = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "headline" for t in node.targets
+        ):
+            names = [ast.literal_eval(e) for e in node.value.elts]
+    assert names, "bench.py headline list not found"
+    missing = [n for n in names if n not in entrymod.queries()]
+    assert not missing, f"bench names missing from registry: {missing}"
