@@ -1792,13 +1792,17 @@ def duplicated_spans(
     toward min_df (distinct-document frequency) — the semantics are
     cross-document contamination, not internal repetition.
 
-    100-TB shape: the text column never reaches an exchange — grams
-    are hashed in the same projection as the explode, so both shuffles
-    carry (doc_id, pos, hash) rows only. `hash_fn` follows the repo's
-    twin pattern: "xxhash64" (default — one 8-byte JVM hash per gram,
-    the production path) or "md5" (engine-neutral, what the DuckDB
-    oracle checks); span output is identical between them barring a
-    hash collision, pinned in test_dedup. Stage 1 is a
+    100-TB shape: ONE corpus scan and one gram-hashing pass — grams
+    are hashed in the same projection as the explode (text never
+    reaches an exchange), pre-aggregated per (gram, doc) with the
+    position list (bounded by doc length), and the distinct-doc
+    frequency is a window count over the gram partition — so the dup
+    filter needs no second scan and no join back. Exchanges carry
+    (hash, doc_id, positions) only. `hash_fn` follows the repo's twin
+    pattern: "xxhash64" (default — one 8-byte JVM hash per gram, the
+    production path) or "md5" (engine-neutral, what the DuckDB oracle
+    checks); span output is identical between them barring a hash
+    collision, pinned in test_dedup. Stage 1 is a
     map-side-combined distinct-doc count per gram hash whose output
     (the duplicated-gram set) is tiny relative to the gram table;
     stage 2 keeps duplicated gram positions by left-semi join on the
@@ -1825,16 +1829,25 @@ def duplicated_spans(
             ).alias("pos", "gh"),
         )
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("gh")
+    # single-scan dup detection: pre-aggregate per (gram, doc) with the
+    # position list (bounded by doc length), then a window count over
+    # the gram partition IS the distinct-doc frequency — no second
+    # corpus scan / re-hash pass, which at 100 TB halves the dominant
+    # cost (the superseded two-pass form re-derived the gram table and
+    # semi-joined it against the duplicated-gram set)
+    per_doc = grams.groupBy("gh", "doc_id").agg(
+        F.collect_list("pos").alias("_poss")
     )
-    spans = grams.join(dup, "gh", "left_semi").select(
-        "doc_id",
-        F.col("pos").cast("long").alias("s"),
-        (F.col("pos") + n - 1).cast("long").alias("e"),
+    w_gh = Window.partitionBy("gh")
+    spans = (
+        per_doc.withColumn("_df", F.count(F.lit(1)).over(w_gh))
+        .filter(F.col("_df") >= min_df)
+        .select("doc_id", F.explode("_poss").alias("pos"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + n - 1).cast("long").alias("e"),
+        )
     )
     w_prev = (
         Window.partitionBy("doc_id")
