@@ -1802,15 +1802,11 @@ def duplicated_spans(
     pattern: "xxhash64" (default — one 8-byte JVM hash per gram, the
     production path) or "md5" (engine-neutral, what the DuckDB oracle
     checks); span output is identical between them barring a hash
-    collision, pinned in test_dedup. Stage 1 is a
-    map-side-combined distinct-doc count per gram hash whose output
-    (the duplicated-gram set) is tiny relative to the gram table;
-    stage 2 keeps duplicated gram positions by left-semi join on the
-    hash (the gram table is re-derived from the scan rather than
-    cached — at corpus scale you persist it, locally the second scan
-    is cheaper than materializing); the merge is one window per doc
-    over the few surviving spans. No step is quadratic in documents or
-    grams."""
+    collision, pinned in test_dedup. The final merge is one window per
+    doc over the few surviving spans. No step is quadratic in
+    documents or grams. (A superseded two-pass form counted dup grams
+    in one aggregate and semi-joined a re-derived gram table against
+    it — twice the scan/hash cost and measured 3× slower at sf0.1.)"""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     _h = F.md5 if hash_fn == "md5" else F.xxhash64
