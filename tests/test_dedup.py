@@ -895,17 +895,16 @@ def test_scrub_duplicated_spans_planted(spark):
 
 def test_duplicated_spans_matches_brute_force_on_random_corpora(spark):
     """Differential gate: on seeded random corpora drawn from a SMALL
-    token vocabulary (so shared 8-gram runs arise by chance, in random
+    token vocabulary (so shared gram runs arise by chance, in random
     positions, with random overlaps), duplicated_spans must equal an
     independent brute-force reference (dict-of-gram-positions + linear
-    interval merge) exactly."""
+    interval merge) exactly — across n and min_df settings, so the
+    parameters are proven wired, not just the defaults."""
     import random
 
     from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
 
-    N = 8
-
-    def brute(corpus):
+    def brute(corpus, N, min_df):
         where = {}
         for did, toks in corpus:
             for i in range(len(toks) - N + 1):
@@ -915,7 +914,7 @@ def test_duplicated_spans_matches_brute_force_on_random_corpora(spark):
             ivs = [
                 (i, i + N - 1)
                 for i in range(len(toks) - N + 1)
-                if len(where[tuple(toks[i : i + N])]) >= 2
+                if len(where[tuple(toks[i : i + N])]) >= min_df
             ]
             cur = None
             for s, e in ivs:  # already sorted by s
@@ -929,7 +928,7 @@ def test_duplicated_spans_matches_brute_force_on_random_corpora(spark):
                 expected.add((did, cur[0], cur[1], cur[1] - cur[0] + 1))
         return expected
 
-    for seed in (7, 21, 99):
+    for seed, N, min_df in ((7, 8, 2), (21, 8, 2), (99, 8, 2), (5, 4, 3)):
         rng = random.Random(seed)
         vocab = [f"w{i}" for i in range(12)]  # tiny vocab → chance repeats
         corpus = [
@@ -940,5 +939,8 @@ def test_duplicated_spans_matches_brute_force_on_random_corpora(spark):
             [(did, " ".join(toks)) for did, toks in corpus],
             ["doc_id", "text"],
         )
-        got = {tuple(r) for r in duplicated_spans(docs, n=N).collect()}
-        assert got == brute(corpus), f"seed {seed}"
+        got = {
+            tuple(r)
+            for r in duplicated_spans(docs, n=N, min_df=min_df).collect()
+        }
+        assert got == brute(corpus, N, min_df), f"seed {seed} n={N} df={min_df}"
