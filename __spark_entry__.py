@@ -1885,11 +1885,26 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
             "text",
         )
+        # one input file per core: the in-stream simhash UDF
+        # parallelizes over scan splits, and a small table otherwise
+        # lands in ONE file → one split → a single-core hash stage
+        # (the replay order is irrelevant here: the emission rule is
+        # exact per pair and the AvailableNow run admits every file in
+        # one micro-batch, so the finalized pair set is a function of
+        # event times alone)
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .parquet(inp)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # state partitions sized to the cluster (scale-adaptive, not a
+    # local-mode constant): every (band_idx, band_val) bucket runs its
+    # stateful verify serially within one task, so fewer partitions
+    # than cores leaves the stateful stage under-parallelized
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(4, spark.sparkContext.defaultParallelism)),
+    )
     try:
         stream_neardup_pairs(
             spark, inp, out, ckp, max_hamming=3, n_bands=4, delay="365 days",
@@ -1994,11 +2009,20 @@ def _q_stream_neardup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1704067200) + F.col("doc_id")).cast("timestamp").alias("ts"),
             "text",
         )
+        # per-core input files + cluster-sized state partitions — see
+        # _q_stream_neardup_pairs; the horizon rule too is exact per
+        # pair (event gap ≤ delay at verify time) and the single
+        # AvailableNow micro-batch sorts each bucket by event time, so
+        # the emitted set does not depend on file order
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .parquet(inp)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(4, spark.sparkContext.defaultParallelism)),
+    )
     try:
         stream_neardup_pairs(
             spark, inp, out, ckp, max_hamming=3, n_bands=4,

@@ -61,3 +61,41 @@ def release_tracked() -> int:
 
 def tracked_count() -> int:
     return len(_TRACKED)
+
+
+def sql_over(query: str, **dfs: DataFrame) -> DataFrame:
+    """``spark.sql`` over temp-view references instead of DataFrame
+    parameter binding.
+
+    Parameter-bound DataFrames (``spark.sql("... {df}", df=df)``) are
+    re-wrapped at every analysis, so a PERSISTED df referenced that way
+    never matches its CacheManager entry — every plan branch silently
+    recomputes the "cached" subtree from source (measured at sf1.0:
+    the minhash band self-join re-ran the shingle explode + signature
+    aggregate on each side despite sig.persist(); the plan showed raw
+    `Scan parquet → Generate → HashAggregate` instead of
+    InMemoryTableScan). A temp view resolves to the df's own analyzed
+    plan, which the cache matches exactly.
+
+    Views are NEVER dropped: ``catalog.dropTempView`` UNCACHES the
+    plan bound to the view — for a persisted input that silently
+    destroys the very cache entry this helper exists to preserve
+    (measured: everything downstream of the drop recomputed from
+    source). Instead each (thread, key) pair reuses one stable view
+    name via createOrReplaceTempView (replacement does NOT uncache the
+    previous binding — verified), so the catalog holds at most
+    #keys × #threads entries and concurrent driver threads never race
+    on a name. spark.sql analyzes eagerly, so the returned DataFrame
+    keeps its resolved plan even after the name is later rebound.
+    `query` uses ``{key}`` placeholders matching the kwargs, exactly
+    like parameterized sql.
+    """
+    import threading  # noqa: PLC0415
+
+    spark = next(iter(dfs.values())).sparkSession
+    names: dict[str, str] = {}
+    for key, df in dfs.items():
+        name = f"_sg_view_{key}_{threading.get_ident()}"
+        df.createOrReplaceTempView(name)
+        names[key] = name
+    return spark.sql(query.format(**names))

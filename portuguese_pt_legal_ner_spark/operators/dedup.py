@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import register
+from ..cache import register, sql_over
 
 N_HASHES = 32
 N_BANDS = 8
@@ -133,7 +133,10 @@ def minhash_signature_table(
     mins = ", ".join(
         f"min(xxhash64(h, {i})) AS m_{i}" for i in range(N_HASHES)
     )
-    return g.sparkSession.sql(
+    # sql_over, not parameterized sql: the caller persists `g` and
+    # references it from several branches — parameter binding breaks
+    # the cache match (see cache.sql_over)
+    return sql_over(
         f"SELECT doc_id, count(1) AS n_sh, {mins} FROM {{g}} GROUP BY doc_id",
         g=g,
     )
@@ -156,7 +159,7 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
         )
         for b in range(N_BANDS)
     )
-    return sig.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT doc_id, n_sh, band.band_idx, band.band_hash
         FROM (SELECT doc_id, n_sh, explode(array({structs})) AS band
@@ -520,13 +523,30 @@ def minhash_md5_signature(
         f"min(md5(concat_ws(':', '{i}', g))) AS mh_{i}"
         for i in range(n_hashes)
     )
-    return g.sparkSession.sql(
+    return sql_over(
         f"SELECT doc_id, {mins} FROM {{g}} GROUP BY doc_id", g=g
     )
 
 
+def gram_spine_str(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, g) — one row per DISTINCT word n-gram STRING per doc;
+    the md5 family's analog of gram_hash_spine (the oracle path joins
+    on the gram string, so the hash spine cannot serve it). Persist it
+    once per query and derive the signature aggregate, the doc sizes,
+    AND the Jaccard-verify inverted index from the cache — the
+    interpreted shingling walk over the text is the dominant scan cost
+    and previously ran once per consumer."""
+    return _ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
+    )
+
+
 def minhash_md5_bands(
-    docs: DataFrame, n_hashes: int = 8, n_bands: int = 4, ngram: int = 3
+    docs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_sh, band_idx, band_hash) — the md5-family band table,
     mirroring _bands_from_sig's shape (n_sh rides the exchange so the
@@ -542,13 +562,11 @@ def minhash_md5_bands(
             "columns"
         )
     rpb = n_hashes // n_bands
-    g = _ensure_parallelism(docs).select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
-    )
+    g = grams if grams is not None else gram_spine_str(docs, ngram)
     mins = ", ".join(
         f"min(md5(concat_ws(':', '{i}', g))) AS mh_{i}" for i in range(n_hashes)
     )
-    sig = g.sparkSession.sql(
+    sig = sql_over(
         f"SELECT doc_id, count(1) AS n_sh, {mins} FROM {{g}} GROUP BY doc_id",
         g=g,
     )
@@ -558,7 +576,7 @@ def minhash_md5_bands(
         )
         for b in range(n_bands)
     )
-    return sig.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT doc_id, n_sh, band.band_idx, band.band_hash
         FROM (SELECT doc_id, n_sh, explode(array({structs})) AS band
@@ -574,14 +592,17 @@ def minhash_md5_candidate_pairs(
     n_bands: int = 4,
     ngram: int = 3,
     persist_registry: list[DataFrame] | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs from the md5 signature — same banded-join
     shape as minhash_candidate_pairs, but every hash is engine-neutral
     so the whole blocking path is SQL-oracle-checkable. The band table
     is persisted (the self-join references it twice) and recorded for
-    release via `persist_registry` / cache.release_tracked()."""
+    release via `persist_registry` / cache.release_tracked().
+    `grams`: a pre-built (persisted) gram_spine_str — callers that also
+    run the Jaccard verify pass it so the corpus is shingled once."""
     bands = (
-        minhash_md5_bands(docs, n_hashes, n_bands, ngram)
+        minhash_md5_bands(docs, n_hashes, n_bands, ngram, grams=grams)
         .select("doc_id", "band_idx", "band_hash")
         .persist()
     )
@@ -803,6 +824,7 @@ def minhash_md5_dedup(
     n_hashes: int = 8,
     n_bands: int = 4,
     ngram: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) — the FULL minhash clustering path in
     engine-neutral arithmetic, so the whole chain (signature → banded
@@ -817,14 +839,20 @@ def minhash_md5_dedup(
     The Jaccard verify joins candidate pairs to the gram lists on the
     gram STRING (no hash) — bit-identical in both engines; grams per
     doc are distinct by construction (word_ngrams), so a plain count
-    is the intersection size."""
+    is the intersection size.
+
+    One shingling walk total: the gram-string spine is persisted and
+    feeds the signature aggregate (via candidate_pairs), the doc
+    sizes, and both sides of the verify join. `grams`: a caller-owned
+    persisted spine (index build) — ownership stays with the caller."""
     registry: list[DataFrame] = []
+    own_grams = grams is None
+    if own_grams:
+        grams = gram_spine_str(docs, ngram).persist()
     cand = minhash_md5_candidate_pairs(
-        docs, n_hashes, n_bands, ngram, persist_registry=registry
+        docs, n_hashes, n_bands, ngram, persist_registry=registry,
+        grams=grams,
     )
-    grams = _ensure_parallelism(docs).select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), ngram)).alias("g")
-    ).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a")
@@ -848,8 +876,9 @@ def minhash_md5_dedup(
         )
     )
     out = _clusters_from_pairs(docs, pairs, None)
-    grams.unpersist()
-    for df in registry:  # the md5 signature candidate_pairs persisted
+    if own_grams:
+        grams.unpersist()
+    for df in registry:  # the band table candidate_pairs persisted
         df.unpersist()
     return out
 
@@ -865,10 +894,18 @@ def minhash_md5_index(
     engine-neutral twin of minhash_index, so the build-once /
     assign-increments production shape gets a cross-engine SQL oracle
     (driver query `dedup_minhash_assign`). Same MinHashIndex contract:
-    band table + doc→cluster map + corpus-count staleness
-    fingerprint."""
-    bands = minhash_md5_bands(docs, n_hashes, n_bands, ngram)
-    clusters = minhash_md5_dedup(docs, threshold, n_hashes, n_bands, ngram)
+    band table + doc→cluster map + corpus-count staleness fingerprint.
+    ONE shingling walk: the persisted gram-string spine feeds the band
+    table AND the clustering (the round-4 minhash_index fix applied to
+    the md5 twin — the build previously exploded the corpus twice);
+    the spine goes to the module cache tracker (drain with
+    cache.release_tracked() once save() has materialized members)."""
+    grams = gram_spine_str(docs, ngram).persist()
+    register(None, grams)
+    bands = minhash_md5_bands(docs, n_hashes, n_bands, ngram, grams=grams)
+    clusters = minhash_md5_dedup(
+        docs, threshold, n_hashes, n_bands, ngram, grams=grams
+    )
     return MinHashIndex(bands, clusters, docs.count())
 
 
@@ -927,7 +964,7 @@ def simhash_md5_table(docs: DataFrame, bits: int = 32) -> DataFrame:
         f"if(c_{i} * 2 > n, cast({1 << i} AS bigint), cast(0 AS bigint))"
         for i in range(bits)
     )
-    return docs.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT doc_id, {word} AS sim
         FROM (SELECT doc_id, count(1) AS n, {sums}
@@ -994,7 +1031,7 @@ def _sim_bands_sql(sh: DataFrame, n_bands: int, width: int, mask: int) -> DataFr
         f"(shiftright(sim, {b * width}) & {mask}) AS band_val)"
         for b in range(n_bands)
     )
-    return sh.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT doc_id, sim, band.band_idx, band.band_val
         FROM (SELECT doc_id, sim, explode(array({structs})) AS band
@@ -1074,7 +1111,7 @@ def simhash_table(docs: DataFrame) -> DataFrame:
         f"cast(0 AS bigint))"
         for i in range(64)
     )
-    return docs.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT doc_id, {word} AS sim
         FROM (SELECT doc_id, count(1) AS n, {sums}
@@ -1474,7 +1511,7 @@ def embedding_neardup_clusters(
         f"(shiftright(_sk, {bi * bits_per_band}) & {mask}) AS band_val)"
         for bi in range(n_bands)
     )
-    bands = sk.sparkSession.sql(
+    bands = sql_over(
         f"""
         SELECT vec_id, band.band_idx, band.band_val
         FROM (SELECT vec_id, explode(array({structs})) AS band FROM {{sk}})

@@ -25,6 +25,8 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame, Window
+
+from ..cache import sql_over
 from pyspark.sql import functions as F
 
 DIM = 64
@@ -225,7 +227,7 @@ def _srp_bands(
         f"(shiftright(_sk, {b * bits_per_band}) & {mask}) AS band_val)"
         for b in range(n_bands)
     )
-    return sk.sparkSession.sql(
+    return sql_over(
         f"""
         SELECT {id_col}, band.band_idx, band.band_val
         FROM (SELECT {id_col}, explode(array({structs})) AS band FROM {{sk}})

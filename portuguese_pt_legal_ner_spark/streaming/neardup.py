@@ -133,7 +133,13 @@ def _simhash32_md5_batch(texts) -> np.ndarray:
     tok_lists = [split((t or "").strip(" ")) for t in texts]
     counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
     flat: list[str] = [tok for tl in tok_lists for tok in tl]
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    # hash-based factorize, not np.unique: unique only needs the
+    # token→digest mapping, and np.unique SORTS the whole flat token
+    # array (O(T log T) string comparisons — measured the dominant
+    # per-batch cost at bench sf); factorize's hash table is O(T) and
+    # yields the same (uniques, inverse) mapping up to unique order,
+    # which the per-token digest lookup makes irrelevant
+    inv, uniq = pd.factorize(np.array(flat, dtype=object), sort=False)
     digests = np.frombuffer(
         b"".join(hashlib.md5(u.encode("utf-8")).digest() for u in uniq),
         dtype=np.uint8,
@@ -212,13 +218,92 @@ def _pair_fn(
         out_b: list[int] = []
         out_h: list[int] = []
         capped = False
+        n = len(sims)
+
+        # ---- fully vectorized fast path -------------------------------
+        # When the bucket cannot hit the star cap this invocation
+        # (existing members + incoming rows ≤ cap) the sequential
+        # append loop is equivalent to one all-pairs verify: row j
+        # pairs with every EARLIER row i (state first, then incoming in
+        # (ts, doc_id) order) with ts_i ≥ ts_j − delay, doc_ids
+        # distinct, hamming ≤ k. One numpy block (XOR outer product +
+        # uint8-view popcount) replaces the per-row Python loop that
+        # dominated the streaming query at bench sf (guide §4.2);
+        # emitted pair SET and hamming values are identical — order
+        # within the micro-batch output differs, which the parquet-
+        # append + dropDuplicates consumer contract never observes.
+        if rows and n + len(rows) <= max_bucket_size:
+            m = len(rows)
+            all_ids = np.concatenate(
+                [np.array(doc_ids, dtype=np.int64),
+                 np.fromiter((r[0] for r in rows), np.int64, m)]
+            )
+            all_sims = np.concatenate(
+                [np.array(sims, dtype=np.uint64),
+                 np.fromiter(((r[1] & _MASK64) for r in rows), np.uint64, m)]
+            )
+            all_ts = np.concatenate(
+                [np.array(ts_us, dtype=np.int64),
+                 np.fromiter((r[2] for r in rows), np.int64, m)]
+            )
+            total = n + m
+            # chunk the incoming block so the [chunk, total] popcount
+            # matrix stays cache-friendly even for a flood bucket
+            chunk = max(1, min(m, (1 << 22) // max(total, 1)))
+            for c0 in range(n, total, chunk):
+                c1 = min(c0 + chunk, total)
+                x = all_sims[None, c0:c1].T ^ all_sims[None, :c1]
+                hs = _POP8[x.view(np.uint8)].reshape(c1 - c0, c1, 8).sum(
+                    axis=2, dtype=np.int64
+                )
+                ok = (hs <= max_hamming) & (
+                    all_ts[None, :c1] >= all_ts[c0:c1, None] - delay_us
+                ) & (all_ids[None, :c1] != all_ids[c0:c1, None])
+                # keep only earlier members: strictly lower index
+                ok &= np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
+                jj, ii = np.nonzero(ok)
+                if len(jj):
+                    ia = all_ids[ii]
+                    ib = all_ids[jj + c0]
+                    # accumulate numpy blocks; one concat at yield time
+                    # (8.7M .tolist() appends measured as a dominant
+                    # cost of the dense-bucket batch at bench sf)
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_h.append(hs[jj, ii])
+            # append the raw incoming values (exactly what the
+            # sequential loop stores in state)
+            doc_ids.extend(r[0] for r in rows)
+            sims.extend(r[1] for r in rows)
+            ts_us.extend(r[2] for r in rows)
+            newest = max([*ts_us, rows[-1][2]])
+            keep = [i for i, t in enumerate(ts_us) if t >= newest - delay_us]
+            if len(keep) != len(ts_us):
+                doc_ids = [doc_ids[i] for i in keep]
+                sims = [sims[i] for i in keep]
+                ts_us = [ts_us[i] for i in keep]
+            state.update((doc_ids, sims, ts_us, newest))
+            timeout_ms = max(
+                newest // 1000 + delay_sec * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "hamming": np.concatenate(out_h),
+                    }
+                )
+            return
+        # ---- sequential path (cap may trip mid-invocation) ------------
         # growing uint64 buffer mirroring `sims` — the verify XORs one
         # incoming word against the WHOLE bucket in numpy (uint8-view
         # popcount table) instead of a Python loop per member; dense
         # near-dup buckets made that loop the dominant cost of the
         # streaming query (measured at sf0.1, identical 46,946-pair
         # output: 5.6 s -> 4.0 s end-to-end)
-        n = len(sims)
         buf = np.empty(max(16, 2 * n), dtype=np.uint64)
         tbuf = np.empty(len(buf), dtype=np.int64)
         if n:
