@@ -27,7 +27,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from .labels import ID_TO_LABEL, split_bio
+from .labels import ID_TO_BIO, ID_TO_LABEL, split_bio  # noqa: F401 — split_bio/ID_TO_LABEL stay exported for callers
 from .tokenization import Token
 
 
@@ -72,8 +72,7 @@ def decode_groups(
         cur_scores = []
 
     for tok, label_id, score in zip(tokens, label_ids, scores):
-        label = ID_TO_LABEL[label_id]
-        prefix, etype = split_bio(label)
+        prefix, etype = ID_TO_BIO[label_id]
         if prefix == "O":
             flush()
             continue

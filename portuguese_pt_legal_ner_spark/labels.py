@@ -44,3 +44,12 @@ def split_bio(label: str) -> tuple[str, str]:
         return "O", ""
     prefix, _, etype = label.partition("-")
     return prefix, etype
+
+
+# id → (prefix, entity_type), precomputed once: the decode loop runs
+# per token on the flagship path, and a tuple index replaces a dict
+# lookup plus a string partition per token (identical values by
+# construction — split_bio itself builds the table)
+ID_TO_BIO: tuple[tuple[str, str], ...] = tuple(
+    split_bio(label) for label in ENTITY_LABELS
+)

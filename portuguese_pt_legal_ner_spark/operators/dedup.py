@@ -1453,19 +1453,32 @@ def embedding_neardup_pairs(
     # one side and STREAMS the other — if the streamed side is a
     # single-partition scan the whole quadratic loop runs in one task
     # (measured 6.7 s vs 0.6 s for the same 1M pairs at sf0.1)
-    from .similarity import cosine  # noqa: PLC0415
+    from .similarity import dot  # noqa: PLC0415
 
+    # the norm of each vector is HOISTED into a per-row projection
+    # before the join: cosine-in-the-condition recomputes sqrt(dot(e,e))
+    # for BOTH sides of every candidate pair — O(|A|·|B|) interpreted
+    # HOF passes over the vectors where O(|A|+|B|) suffices. The
+    # division dot/(na*nb) evaluates the identical float64 expression
+    # per pair, so the pair set is bit-identical to the inline form;
+    # only the per-pair work drops to one dot product.
     a = _ensure_parallelism(emb_a).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_na"),
     )
     b = _ensure_parallelism(emb_b if emb_b is not None else emb_a).select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_nb"),
     )
     return (
         a.join(
             b,
             (F.col("vec_a") < F.col("vec_b"))
-            & (cosine(F.col("ea"), F.col("eb")) >= threshold),
+            & (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("_na") * F.col("_nb"))
+                >= threshold
+            ),
         )
         .select("vec_a", "vec_b")
     )
@@ -1728,7 +1741,14 @@ def ngram_jaccard_sparse(
     grams (the standard frequent-shingle trade in dedup practice, and
     still exact for pairs sharing none). Audit the dropped grams with
     frequent_grams(). Off (None) by default: the SQL-oracled entry
-    query keeps exact semantics."""
+    query keeps exact semantics.
+
+    Both posting lists stay persisted ON PURPOSE (round-7 measured
+    regression check): each feeds the intersection join AND its
+    doc-size aggregate, and with the caches removed Catalyst's
+    post-Generate size estimates chose to BROADCAST the full b-side
+    posting list (2.6M strings, 23 s vs 2.9 s at sf1.0) — explode
+    output estimates are unreliable, cached statistics are not."""
     ga = docs_a.select(
         F.col("doc_id").alias("doc_a"),
         F.explode(word_ngrams(F.col("text"), ngram)).alias("g"),
@@ -1833,9 +1853,11 @@ def duplicated_spans(
     are hashed in the same projection as the explode (text never
     reaches an exchange), pre-aggregated per (gram, doc) with the
     position list (bounded by doc length), and the distinct-doc
-    frequency is a window count over the gram partition — so the dup
-    filter needs no second scan and no join back. Exchanges carry
-    (hash, doc_id, positions) only. `hash_fn` follows the repo's twin
+    frequency is a map-side-combinable groupBy(gh).count() joined back
+    on gh — one slim, AQE-splittable exchange, immune to a flood gram
+    (a window over partitionBy(gh) would funnel a universal
+    boilerplate gram through one task). Exchanges carry (hash, doc_id,
+    positions) only. `hash_fn` follows the repo's twin
     pattern: "xxhash64" (default — one 8-byte JVM hash per gram, the
     production path) or "md5" (engine-neutral, what the DuckDB oracle
     checks); span output is identical between them barring a hash
@@ -1863,18 +1885,29 @@ def duplicated_spans(
         )
     )
     # single-scan dup detection: pre-aggregate per (gram, doc) with the
-    # position list (bounded by doc length), then a window count over
-    # the gram partition IS the distinct-doc frequency — no second
-    # corpus scan / re-hash pass, which at 100 TB halves the dominant
-    # cost (the superseded two-pass form re-derived the gram table and
-    # semi-joined it against the duplicated-gram set)
+    # position list (bounded by doc length) — no second corpus scan /
+    # re-hash pass, which at 100 TB halves the dominant cost (the
+    # superseded two-pass form re-derived the gram table and semi-
+    # joined it against the duplicated-gram set). The distinct-doc
+    # frequency is a groupBy(gh).count() JOINED back on gh, NOT a
+    # window over partitionBy(gh): a universal boilerplate gram — the
+    # very target of this operator — would funnel its whole partition
+    # through one unsplittable window task, while the aggregate
+    # partial-combines the flood per executor before the slim exchange
+    # and AQE can split the skewed join (the plans/curation.py
+    # flood-immunity argument; flood-gram behavior pinned in
+    # test_dedup's planted-flood test)
     per_doc = grams.groupBy("gh", "doc_id").agg(
         F.collect_list("pos").alias("_poss")
     )
-    w_gh = Window.partitionBy("gh")
-    spans = (
-        per_doc.withColumn("_df", F.count(F.lit(1)).over(w_gh))
+    dup = (
+        per_doc.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_df)
+        .select("gh")
+    )
+    spans = (
+        per_doc.join(dup, "gh")
         .select("doc_id", F.explode("_poss").alias("pos"))
         .select(
             "doc_id",

@@ -850,6 +850,42 @@ def test_duplicated_spans_planted(spark):
     }
 
 
+def test_duplicated_spans_flood_gram_plan_and_behavior(spark):
+    """Flood-gram guard (round-6 verdict item 1): a boilerplate gram
+    present in EVERY document — the exact case the operator exists for
+    — must (a) still produce correct merged spans and (b) never funnel
+    through a single window task: the gram document-frequency must be
+    a partial-aggregable groupBy(gh), not a count over
+    Window.partitionBy(gh) (AQE cannot split a window partition). The
+    plan check pins partial aggregation below the gram-frequency
+    exchange and the absence of any Window over gh."""
+    from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
+
+    B = [f"flood{i}" for i in range(8)]  # one 8-gram shared by ALL docs
+    rows = [
+        (d, " ".join([f"u{d}x{i}" for i in range(4)] + B
+                     + [f"v{d}x{i}" for i in range(3)]))
+        for d in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = duplicated_spans(docs, n=8, min_df=2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the frequency count partial-aggregates before its exchange …
+    assert "partial_count" in plan
+    # … and no window runs partitioned on the gram hash (the doc-level
+    # island-merge windows partition by doc_id, which is fine)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "gh" not in line, line
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in out.collect()
+    }
+    assert got == {(d, 4, 11, 8) for d in range(200)}
+
+
 def test_duplicated_spans_hash_families_agree(spark):
     """Span output is a function of gram-string EQUALITY, not the hash
     family: the xxhash64 production path and the md5 oracle twin must

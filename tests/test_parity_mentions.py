@@ -64,3 +64,30 @@ def test_detection_deterministic_across_parallelism(spark):
     rows2 = {_key(r.asDict()) for r in detect_mentions(df2).collect()}
     rows16 = {_key(r.asDict()) for r in detect_mentions(df16).collect()}
     assert rows2 == rows16
+
+
+def test_batch_fast_path_bit_identical_to_logits_path():
+    """The memoized (label, score) → (argmax id, prob) fast path must
+    be BIT-identical to the stacked logits → softmax → argmax model-
+    interface path (same spans, same float scores) — the flagship
+    detector's output may not depend on which path ran (round-7
+    optimization guard)."""
+    from portuguese_pt_legal_ner_spark.reference_path import (
+        _extract_entities_scored_batch_logits,
+        extract_entities_scored,
+        extract_entities_scored_batch,
+        split_into_paragraphs,
+    )
+    from portuguese_pt_legal_ner_spark.synth import generate_transcripts
+
+    paras = []
+    for r in generate_transcripts(n_conversations=300, seed=7):
+        if r["text"]:
+            paras.extend(split_into_paragraphs(r["text"]))
+    assert len(paras) > 1000
+    fast = extract_entities_scored_batch(paras, 0.5)
+    logits = _extract_entities_scored_batch_logits(paras, 0.5)
+    assert fast == logits
+    serial = [extract_entities_scored(p, 0.5) for p in paras[:200]]
+    assert fast[:200] == serial
+    assert any(fast)  # non-vacuous
