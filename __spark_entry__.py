@@ -1909,6 +1909,11 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_neardup_pairs(
             spark, inp, out, ckp, max_hamming=3, n_bands=4, delay="365 days",
             delay_sec=365 * 86400, max_bucket_size=1_000_000,
+            # the cap is unreachable by construction (≥ the whole
+            # table), so each pair may be emitted once, by its lowest
+            # agreeing band — identical distinct pair set, ~half the
+            # sink traffic
+            emit_once_per_pair=True,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

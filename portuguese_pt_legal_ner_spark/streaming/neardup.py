@@ -183,9 +183,16 @@ _MASK64 = 0xFFFFFFFFFFFFFFFF
 
 
 def _pair_fn(
-    max_hamming: int, delay_sec: int, max_bucket_size: int, capped_acc=None
+    max_hamming: int,
+    delay_sec: int,
+    max_bucket_size: int,
+    capped_acc=None,
+    n_bands: int | None = None,
+    emit_once_per_pair: bool = False,
 ):
     delay_us = delay_sec * 1_000_000
+    width = SIMHASH_BITS // n_bands if n_bands else 0
+    band_mask = (1 << width) - 1 if width else 0
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -262,6 +269,31 @@ def _pair_fn(
                 # keep only earlier members: strictly lower index
                 ok &= np.arange(c1)[None, :] < np.arange(c0, c1)[:, None]
                 jj, ii = np.nonzero(ok)
+                if len(jj) and emit_once_per_pair:
+                    # canonical-band suppression: emit a pair only in
+                    # the bucket of its LOWEST agreeing band (computable
+                    # from the sim words in state) — a pair agreeing on
+                    # k bands otherwise crosses the Arrow boundary and
+                    # the sink k times just to be dropDuplicates'd away
+                    # (measured 8.7M emitted vs 4.85M distinct at
+                    # sf1.0). Valid only when the star cap cannot trip
+                    # anywhere in the stream (see neardup_pairs_stream):
+                    # a capped bucket emits representative pairs only,
+                    # so suppression elsewhere could lose a pair whose
+                    # canonical bucket was capped. The distinct pair
+                    # set is unchanged: this bucket's band agrees for
+                    # every pair here, so argmax finds a band ≤ ours
+                    # and exactly one bucket keeps each pair.
+                    xp = all_sims[ii] ^ all_sims[jj + c0]
+                    agree = np.stack(
+                        [
+                            ((xp >> np.uint64(b * width))
+                             & np.uint64(band_mask)) == 0
+                            for b in range(n_bands)
+                        ]
+                    )
+                    keep_pairs = agree.argmax(axis=0) == key[0]
+                    jj, ii = jj[keep_pairs], ii[keep_pairs]
                 if len(jj):
                     ia = all_ids[ii]
                     ib = all_ids[jj + c0]
@@ -409,12 +441,21 @@ def neardup_pairs_stream(
     delay_sec: int = 3600,
     max_bucket_size: int = MAX_STREAM_BUCKET,
     capped_acc=None,
+    emit_once_per_pair: bool = False,
 ) -> DataFrame:
     """streaming docs(doc_id, ts, text) → (doc_a, doc_b, hamming)
     near-dup pairs within the watermark horizon. The input must carry
     a watermark on ts (drives late-drop and the bucket timeout).
     `capped_acc`: optional SparkContext accumulator incremented once
-    per bucket-batch that hit the star cap (audit)."""
+    per bucket-batch that hit the star cap (audit).
+    `emit_once_per_pair`: suppress per-band duplicate emissions (a pair
+    is emitted only by its lowest agreeing band's bucket) — the
+    DISTINCT pair set is unchanged but the sink traffic drops by the
+    band-agreement factor. Only valid when `max_bucket_size` cannot be
+    reached by any bucket (pass it ≥ the stream's doc volume): a
+    capped bucket emits representative pairs only, and suppression in
+    an uncapped bucket could then lose a pair whose canonical bucket
+    was capped."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole recall "
@@ -446,7 +487,8 @@ def neardup_pairs_stream(
         ).alias("band"),
     ).select("doc_id", "ts", "sim", "band.band_idx", "band.band_val")
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
-        _pair_fn(max_hamming, delay_sec, max_bucket_size, capped_acc),
+        _pair_fn(max_hamming, delay_sec, max_bucket_size, capped_acc,
+                 n_bands=n_bands, emit_once_per_pair=emit_once_per_pair),
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -464,12 +506,15 @@ def stream_neardup_pairs(
     delay: str = "1 hour",
     delay_sec: int = 3600,
     max_bucket_size: int = MAX_STREAM_BUCKET,
+    emit_once_per_pair: bool = False,
 ) -> int:
     """AvailableNow job: catch up on unseen document files, append
     newly discovered near-dup pairs, stop. Resumable: bucket state
     (in-horizon simhashes) lives in the checkpoint across runs.
     Returns the number of bucket-batches that hit the star cap this
-    run (also logged — the no-silent-caps audit)."""
+    run (also logged — the no-silent-caps audit).
+    `emit_once_per_pair`: see neardup_pairs_stream (requires an
+    unreachable max_bucket_size)."""
     import logging  # noqa: PLC0415
 
     capped_acc = spark.sparkContext.accumulator(0)
@@ -481,7 +526,7 @@ def stream_neardup_pairs(
     q = (
         neardup_pairs_stream(
             stream, max_hamming, n_bands, delay_sec, max_bucket_size,
-            capped_acc=capped_acc,
+            capped_acc=capped_acc, emit_once_per_pair=emit_once_per_pair,
         )
         .writeStream.format("parquet")
         .option("path", output_dir)
