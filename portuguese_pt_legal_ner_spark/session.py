@@ -46,6 +46,16 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # Whole-stage-codegen class cache: the default 100 entries is
+        # far below this engine's working set (each of the ~50 registry
+        # queries generates 5-15 codegen classes), so by the time a
+        # warmed query runs for real its compiled classes have been
+        # evicted by the other queries' and it pays the 3-9 s Janino +
+        # C2 first-compile tax AGAIN inside the timed region — as
+        # would any long-lived production driver cycling a query mix.
+        # Sized to hold the whole registry's classes; cost is bounded
+        # JVM metaspace (~KBs per entry).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
