@@ -1851,13 +1851,13 @@ def duplicated_spans(
 
     100-TB shape: ONE corpus scan and one gram-hashing pass — grams
     are hashed in the same projection as the explode (text never
-    reaches an exchange), pre-aggregated per (gram, doc) with the
-    position list (bounded by doc length), and the distinct-doc
-    frequency is a map-side-combinable groupBy(gh).count() joined back
-    on gh — one slim, AQE-splittable exchange, immune to a flood gram
-    (a window over partitionBy(gh) would funnel a universal
-    boilerplate gram through one task). Exchanges carry (hash, doc_id,
-    positions) only. `hash_fn` follows the repo's twin
+    reaches an exchange) into a persisted slim spine (doc_id, pos,
+    hash); the distinct-doc frequency is a map-side-combinable
+    count_distinct aggregate whose (gh, doc_id) partial keys SPREAD a
+    flood gram, and the duplicated grams semi-join the spine on gh —
+    an AQE-splittable join, immune to a flood gram (a window over
+    partitionBy(gh) would funnel a universal boilerplate gram through
+    one task). Exchanges carry (hash, doc_id, position) scalars only. `hash_fn` follows the repo's twin
     pattern: "xxhash64" (default — one 8-byte JVM hash per gram, the
     production path) or "md5" (engine-neutral, what the DuckDB oracle
     checks); span output is identical between them barring a hash
@@ -1884,36 +1884,30 @@ def duplicated_spans(
             ).alias("pos", "gh"),
         )
     )
-    # single-scan dup detection: pre-aggregate per (gram, doc) with the
-    # position list (bounded by doc length) — no second corpus scan /
-    # re-hash pass, which at 100 TB halves the dominant cost (the
-    # superseded two-pass form re-derived the gram table and semi-
-    # joined it against the duplicated-gram set). The distinct-doc
-    # frequency is a groupBy(gh).count() JOINED back on gh, NOT a
-    # window over partitionBy(gh): a universal boilerplate gram — the
-    # very target of this operator — would funnel its whole partition
-    # through one unsplittable window task, while the aggregate
-    # partial-combines the flood per executor before the slim exchange
-    # and AQE can split the skewed join (the plans/curation.py
-    # flood-immunity argument; flood-gram behavior pinned in
+    # single-scan dup detection: the slim (doc_id, pos, gh) spine is
+    # persisted (3 scalar columns — no text, no arrays) and consumed
+    # twice: a DISTINCT-doc frequency aggregate selects the duplicated
+    # grams, and a semi-join keeps those grams' positions. The
+    # frequency is NOT a window over partitionBy(gh): a universal
+    # boilerplate gram — the very target of this operator — would
+    # funnel its whole partition through one unsplittable window task,
+    # while count_distinct plans as (gh, doc_id)-keyed partial
+    # aggregation (the flood spreads over its distinct doc_ids) and
+    # the skewed semi-join is AQE-splittable (the plans/curation.py
+    # flood-immunity argument; flood-gram behavior and plan pinned in
     # test_dedup's planted-flood test)
-    per_doc = grams.groupBy("gh", "doc_id").agg(
-        F.collect_list("pos").alias("_poss")
-    )
+    grams = grams.persist()
+    register(None, grams)
     dup = (
-        per_doc.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("_df"))
         .filter(F.col("_df") >= min_df)
         .select("gh")
     )
-    spans = (
-        per_doc.join(dup, "gh")
-        .select("doc_id", F.explode("_poss").alias("pos"))
-        .select(
-            "doc_id",
-            F.col("pos").cast("long").alias("s"),
-            (F.col("pos") + n - 1).cast("long").alias("e"),
-        )
+    spans = grams.join(dup, "gh", "left_semi").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + n - 1).cast("long").alias("e"),
     )
     w_prev = (
         Window.partitionBy("doc_id")

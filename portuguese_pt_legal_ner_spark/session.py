@@ -37,6 +37,19 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Joins: allow shuffled-hash when its size conditions hold and
+        # let AQE rewrite sort-merge to shuffled-hash for small
+        # post-shuffle partitions (guide §3.1/§9) — the dedup family
+        # joins slim aggregate outputs against big spines, where the
+        # sort of the big side is pure overhead. Thresholds are
+        # per-partition build-side sizes: 64 MB per task is modest on
+        # any executor sized for this engine, and AQE skew splitting
+        # still applies.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # The heavy stage is CPU-bound Python over text, not IO: a few
         # MB of compressed transcripts is seconds of NER compute, so
         # input splits and post-shuffle partitions are sized well below
