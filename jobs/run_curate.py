@@ -49,7 +49,9 @@ def main() -> None:
                         "duplicated token spans (dedup."
                         "scrub_duplicated_spans) — boilerplate regions "
                         "doc-level dedup can't see; reported as "
-                        "tokens_scrubbed")
+                        "tokens_scrubbed. Batch-only: ignored under "
+                        "--from-stream (the stream sink is already "
+                        "curated; tokens_scrubbed prints null)")
     parser.add_argument("--span-ngram", type=int, default=8,
                         help="gram width for --scrub-spans")
     parser.add_argument("--from-stream", action="store_true",
@@ -68,6 +70,7 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     tokens_scrubbed = None
+    scrubbed = None
     if args.scrub_spans and not args.from_stream:
         from pyspark.sql import functions as F
 
@@ -75,7 +78,11 @@ def main() -> None:
             scrub_duplicated_spans,
         )
 
-        scrubbed = scrub_duplicated_spans(docs, n=args.span_ngram)
+        # persisted: the tokens_scrubbed aggregate and the curation
+        # write both consume the scrub output — without the cache the
+        # whole span-detection pipeline (the dominant scan/hash cost)
+        # ran twice (round-6 advice)
+        scrubbed = scrub_duplicated_spans(docs, n=args.span_ngram).persist()
         tokens_scrubbed = scrubbed.agg(
             F.sum("n_tokens_removed")
         ).first()[0] or 0
@@ -95,6 +102,8 @@ def main() -> None:
             shards=args.shards,
         )
     curated.write.mode("overwrite").parquet(args.output)
+    if scrubbed is not None:
+        scrubbed.unpersist()  # output materialized; release the cache
     out = spark.read.parquet(args.output)
     n_chunks = out.count()
     n_docs = out.select("doc_id").distinct().count()

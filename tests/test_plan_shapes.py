@@ -117,10 +117,11 @@ def test_detector_scan_is_column_pruned(spark):
 
 
 def test_duplicated_spans_exchanges_carry_no_text(spark, docs):
-    """Substring-level dedup: the gram table is hashed (md5) in the
-    same projection as the explode, so neither the text column nor the
-    raw token array rides any hash exchange — both shuffles carry
-    (doc_id, pos, 32-byte hash) only."""
+    """Substring-level dedup: the gram table is hashed (xxhash64 — the
+    default production family) in the same projection as the explode,
+    so neither the text column nor the raw token array rides any hash
+    exchange — every shuffle carries (doc_id, pos, 8-byte hash)
+    scalars only."""
     import re as _re
 
     from portuguese_pt_legal_ner_spark.operators.dedup import duplicated_spans
