@@ -62,6 +62,10 @@ Shape (the streaming analog of simhash_md5_neardup_pairs):
 A pair agreeing on several bands is emitted once per agreeing band
 micro-batch-locally; consumers wanting a distinct pair set dedupe on
 (doc_a, doc_b) downstream (streaming/dedup.deduped_stream composes).
+With ``emit_once_per_pair`` (valid only when the star cap is
+unreachable) the bucket of the pair's LOWEST agreeing band is the sole
+emitter — same distinct pair set, sink traffic divided by the
+band-agreement factor.
 
 Restart semantics (pinned in test_streaming.py): bucket state lives in
 the checkpoint, so near-dups arriving in a LATER run still pair with
@@ -221,9 +225,11 @@ def _pair_fn(
             rows.extend(zip(pdf["doc_id"].tolist(), pdf["sim"].tolist(), us.tolist()))
         rows.sort(key=lambda r: (r[2], r[0]))  # event-time order, det. ties
 
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_h: list[int] = []
+        # fast path accumulates numpy blocks, sequential path scalars;
+        # both concat/hand the lists to one pd.DataFrame at yield time
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
         capped = False
         n = len(sims)
 
